@@ -1,0 +1,146 @@
+"""Codecs shared by the Spark engine and the numpy oracle.
+
+Pure numpy, no Spark imports — usable inside pandas UDFs and in tests.
+
+Parity notes (vs /root/reference):
+- u8 affine quantization mirrors utils.rs:68-90: per-summary ``min``,
+  ``quant=(max-min)/255``, ``code=round((v-min)/quant)``.  We additionally
+  provide a *ceil* variant so dequantized values upper-bound the input —
+  required for exactness of block skipping at heap_factor=1.0 (the reference
+  treats summaries as estimates; we keep both behaviors selectable).
+- f16 round-trip mirrors the reference's default f16 value storage
+  (pylib/mod.rs:27-39): weights are stored as float16 and scored as float32.
+- delta-gap + varint replaces the reference's 48/16-bit packed postings
+  (posting_list.rs:26-60) — per BASELINE.json north rule, posting doc-id
+  lists are compressed with delta-gap + varint into BINARY columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- varint ----
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints to bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    out = bytearray()
+    for x in v.tolist():
+        while True:
+            b = x & 0x7F
+            x >>= 7
+            if x:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array."""
+    out: list[int] = []
+    shift = 0
+    cur = 0
+    for b in buf:
+        cur |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+        else:
+            out.append(cur)
+            cur = 0
+            shift = 0
+    return np.asarray(out, dtype=np.uint64)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Delta-gap + varint encode a strictly-increasing id array."""
+    ids = np.asarray(sorted_ids, dtype=np.uint64)
+    if ids.size == 0:
+        return b""
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return varint_encode(gaps)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`delta_encode`."""
+    gaps = varint_decode(buf)
+    if gaps.size == 0:
+        return gaps
+    return np.cumsum(gaps, dtype=np.uint64)
+
+
+# ------------------------------------------------------------------- f16 ----
+
+
+def f16_round_trip(values: np.ndarray) -> np.ndarray:
+    """float32 -> float16 -> float32, bit-compatible with f16 value storage."""
+    return np.asarray(values, dtype=np.float32).astype(np.float16).astype(np.float32)
+
+
+def f16_encode(values: np.ndarray) -> bytes:
+    return np.asarray(values, dtype=np.float32).astype(np.float16).tobytes()
+
+
+def f16_decode(buf: bytes) -> np.ndarray:
+    return np.frombuffer(buf, dtype=np.float16).astype(np.float32)
+
+
+# ------------------------------------------------------- u8 quantization ----
+
+
+def quantize_u8(values: np.ndarray, *, ceil: bool = False) -> tuple[np.ndarray, float, float]:
+    """Affine u8 quantization of a value vector.
+
+    Returns ``(codes uint8, minimum, quant)`` with
+    ``code = round_or_ceil((v - min) / quant)`` and ``quant = (max-min)/255``
+    (utils.rs:68-90 semantics for ``ceil=False``).  With ``ceil=True`` the
+    dequantized value always upper-bounds the input, which makes block-max
+    skipping exact.
+    """
+    v64 = np.asarray(values, dtype=np.float64)
+    if v64.size == 0:
+        return np.empty(0, dtype=np.uint8), 0.0, 0.0
+    if ceil:
+        # f32 storage must not round any value DOWN (upper-bound contract):
+        # up-convert with nextafter where the f32 cast fell below the input.
+        v = v64.astype(np.float32)
+        below = v.astype(np.float64) < v64
+        v = np.where(below, np.nextafter(v, np.float32(np.inf)), v)
+    else:
+        v = v64.astype(np.float32)
+    lo = np.float32(v.min())
+    hi = np.float32(v.max())
+    quant = np.float32((float(hi) - float(lo)) / 255.0)
+    if quant <= 0.0:
+        return np.zeros(v.size, dtype=np.uint8), float(lo), 0.0
+    scaled = (v - lo) / quant
+    # nearest mode matches Rust f32::round (half away from zero), utils.rs:86
+    codes = np.ceil(scaled) if ceil else np.floor(scaled + np.float32(0.5))
+    codes = np.clip(codes, 0, 255).astype(np.uint8)
+    if ceil:
+        # guard f32 roundoff end-to-end: dequant (in the exact arithmetic the
+        # scorer uses) must dominate v; bump codes, then widen quant if the
+        # top code still undershoots.
+        for _ in range(4):
+            deq = dequantize_u8(codes, float(lo), float(quant))
+            low = deq < v
+            if not low.any():
+                break
+            bump = low & (codes < 255)
+            codes = np.where(bump, codes + 1, codes).astype(np.uint8)
+            if (low & (codes == 255)).any():
+                quant = np.nextafter(quant, np.float32(np.inf))
+    return codes, float(lo), float(quant)
+
+
+def dequantize_u8(codes: np.ndarray, minimum: float, quant: float) -> np.ndarray:
+    """Inverse affine map: ``min + code * quant`` (float32 math)."""
+    return (
+        np.float32(minimum) + np.asarray(codes, dtype=np.float32) * np.float32(quant)
+    ).astype(np.float32)

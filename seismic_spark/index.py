@@ -1,0 +1,191 @@
+"""SeismicSparkIndex — the engine façade (build / search / save / load).
+
+Python-API parity with the reference's ``SeismicIndex`` (pylib/mod.rs:327-655):
+``build`` takes a DataFrame of documents (or raw pages) instead of a JSONL
+path; ``search``/``batch_search`` take query term/weight arrays and return a
+DataFrame; ``save``/``load`` persist the index tables as Parquet directories
+(the Iceberg-snapshot analogue of `.index.seismic`, SURVEY.md §1.5 — swap the
+writer format for "iceberg" on a cluster with the runtime catalog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from seismic_spark import forward as fwd
+from seismic_spark import postings as pst
+from seismic_spark import search as srch
+from seismic_spark import textprep, vocab as voc
+from seismic_spark.postings import IndexConfig
+
+
+class SeismicSparkIndex:
+    """Distributed Seismic-style index over (vocab, forward, postings) tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        vocab: DataFrame,
+        forward: DataFrame,
+        postings: DataFrame,
+        n_docs: int,
+        avgdl: float,
+        config: IndexConfig,
+    ) -> None:
+        self.spark = spark
+        self.vocab = vocab
+        self.forward = forward
+        self.postings = postings
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.config = config
+
+    # ------------------------------------------------------------- build ----
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        config: IndexConfig | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        cache: bool = True,
+    ) -> "SeismicSparkIndex":
+        """Tokenize → BM25-weight → vocab/forward/postings tables.
+
+        ``docs`` needs (id_col, text_col); use
+        :func:`seismic_spark.textprep.with_extracted_text` first for raw
+        pages with only ``html``.
+        """
+        cfg = config or IndexConfig()
+        toks = textprep.tokenize(docs.select(id_col, text_col), text_col)
+        toks = toks.persist()
+        n_docs, avgdl = textprep.corpus_stats(toks)
+        vocab = voc.build_vocab(toks, id_col).persist()
+        n_terms = vocab.count()
+        tf_df = textprep.term_frequencies(toks, id_col)
+        dtw = textprep.bm25_weights(tf_df, vocab, n_docs, avgdl, id_col)
+        forward = fwd.build_forward(dtw, id_col).persist()
+        postings = pst.build_postings(dtw, forward, cfg, n_terms, id_col)
+        if cache:
+            postings = postings.persist()
+        return cls(spark, vocab, forward, postings, n_docs, avgdl, cfg)
+
+    # ------------------------------------------------------------ search ----
+
+    def batch_search(
+        self,
+        queries: list[tuple[str, list[str], list[float]]],
+        k: int = 10,
+        query_cut: int = 10,
+        heap_factor: float = 1.0,
+        probe_blocks: int = 8,
+    ) -> DataFrame:
+        """(query_id, rank, doc_id, score) for a batch of term-weighted
+        queries; unknown terms silently dropped (P3)."""
+        qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
+        return srch.batch_search(
+            self.spark,
+            self.postings,
+            self.forward,
+            qvecs,
+            k=k,
+            query_cut=query_cut,
+            heap_factor=heap_factor,
+            probe_blocks=probe_blocks,
+        )
+
+    def search(
+        self,
+        query_id: str,
+        terms: list[str],
+        weights: list[float],
+        k: int = 10,
+        query_cut: int = 10,
+        heap_factor: float = 1.0,
+    ) -> DataFrame:
+        return self.batch_search([(query_id, terms, weights)], k, query_cut, heap_factor)
+
+    def search_text(
+        self, query_id: str, text: str, k: int = 10, query_cut: int = 10,
+        heap_factor: float = 1.0,
+    ) -> DataFrame:
+        """Free-text query: tokenize and weight terms by query-side idf·tf."""
+        toks = [t for t in text.lower().split(" ") if t]
+        from collections import Counter
+
+        c = Counter(toks)
+        return self.batch_search(
+            [(query_id, list(c), [float(v) for v in c.values()])], k, query_cut,
+            heap_factor,
+        )
+
+    def bruteforce(
+        self, queries: list[tuple[str, list[str], list[float]]], k: int = 10
+    ) -> DataFrame:
+        """Exact full-scan ground truth (Q10)."""
+        qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
+        return srch.bruteforce_search(self.spark, self.forward, qvecs, k)
+
+    # ----------------------------------------------------- introspection ----
+
+    @property
+    def dim(self) -> int:
+        return self.vocab.count()
+
+    def nnz(self) -> int:
+        return fwd.forward_nnz(self.forward)
+
+    def get_doc_ids_in_postings(self, term_id: int) -> DataFrame:
+        """Q11 analogue: decoded doc ids of one posting list."""
+        from seismic_spark.search import _decode_docs
+
+        rows = self.postings.filter(F.col("term_id") == term_id).select(
+            F.lit("_").alias("query_id"), F.explode("doc_gaps").alias("gaps")
+        )
+        return _decode_docs(rows).select("doc_id")
+
+    def space_usage(self) -> dict[str, int]:
+        """Q12 analogue: bytes per index component (engine-side estimate)."""
+        row = self.postings.agg(
+            F.sum(F.aggregate(F.transform("doc_gaps", F.octet_length), F.lit(0), lambda a, b: a + b)).alias("gaps"),
+            F.sum(F.aggregate(F.transform("weights_f16", F.octet_length), F.lit(0), lambda a, b: a + b)).alias("weights"),
+            F.sum(F.aggregate(F.transform("summary_codes", F.octet_length), F.lit(0), lambda a, b: a + b)).alias("codes"),
+        ).collect()[0]
+        return {k: int(row[k] or 0) for k in ("gaps", "weights", "codes")}
+
+    # -------------------------------------------------------- save / load ---
+
+    def save(self, path: str, partitions_by_term_hash: int = 0) -> None:
+        """Persist index tables (S6).  ``postings`` is repartitioned by
+        hash(term_id) so a query's broadcast-join scan prunes files."""
+        p = self.postings
+        if partitions_by_term_hash:
+            p = p.repartition(partitions_by_term_hash, F.hash("term_id"))
+        p.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+        self.forward.write.mode("overwrite").parquet(os.path.join(path, "forward"))
+        self.vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+        meta = {"n_docs": self.n_docs, "avgdl": self.avgdl, "config": asdict(self.config)}
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SeismicSparkIndex":
+        """S7 analogue."""
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            spark,
+            spark.read.parquet(os.path.join(path, "vocab")),
+            spark.read.parquet(os.path.join(path, "forward")),
+            spark.read.parquet(os.path.join(path, "postings")),
+            meta["n_docs"],
+            meta["avgdl"],
+            IndexConfig(**meta["config"]),
+        )

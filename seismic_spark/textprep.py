@@ -1,0 +1,118 @@
+"""Text front-end: HTML→text extraction, tokenization, BM25 weighting.
+
+The reference consumes precomputed sparse vectors (json_utils.rs:17-22); this
+module is the web-scale front-end our engine adds per BASELINE.json: pages
+``(url, warc_ts, html, text, lang)`` → per-(doc, term) BM25 weights.
+
+Everything is JVM-side ``pyspark.sql.functions`` except HTML extraction,
+which is an Arrow-vectorized pandas UDF (regex, deterministic — byte-identical
+output per url is asserted in tests, per the input_hint invariant).
+
+BM25 (Robertson/Okapi, k1=1.2 b=0.75, double math):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    w(t, d) = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+The same formula is mirrored in ANSI SQL by :func:`bm25_oracle_sql` fragments
+used for the DuckDB correctness gate.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+K1 = 1.2
+B = 0.75
+
+_TAG_RE = re.compile(r"<[^>]*>")
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)[^>]*>.*?</\1>")
+
+
+def _extract_text_py(html: bytes | None) -> str:
+    """Deterministic, pure HTML→text: drop script/style, strip tags.
+
+    Must be byte-identical per url across runs/partitions (pure function of
+    the input bytes only) — the per-row invariant vs the reference.
+    """
+    if html is None:
+        return ""
+    s = html.decode("utf-8", errors="replace")
+    s = _SCRIPT_RE.sub("", s)
+    s = _TAG_RE.sub("", s)
+    return s
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(_extract_text_py)
+
+
+def with_extracted_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Add/replace ``text`` with the deterministic extraction of ``html``."""
+    return pages.withColumn("text", extract_text_udf(F.col(html_col)))
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text, empty tokens dropped.
+
+    Deliberately simple so the DuckDB oracle (string_split on ' ') matches
+    byte-for-byte; richer tokenizers can be layered on later without touching
+    the index code.
+    """
+    return F.filter(F.split(F.lower(text), " "), lambda t: t != F.lit(""))
+
+
+def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add ``tokens ARRAY<STRING>`` and ``dl INT`` (doc length)."""
+    toks = tokens_col(F.col(text_col))
+    return docs.withColumn("tokens", toks).withColumn("dl", F.size("tokens"))
+
+
+def term_frequencies(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode tokenized docs to ``(doc_id, dl, term, tf)``.
+
+    One shuffle on (doc_id, term); map-side combine applies (hash aggregate).
+    """
+    return (
+        docs.select(id_col, "dl", F.explode("tokens").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_weights(
+    tf_df: DataFrame,
+    vocab: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Join term stats onto (doc,term,tf) rows and compute BM25 weights.
+
+    ``vocab`` carries (term, term_id, df).  The join is on ``term``; Catalyst
+    broadcasts when vocab is small, otherwise AQE picks sort-merge — at
+    10^12-doc scale vocab is large and the join shuffles on term, which is
+    also the downstream postings partitioning key (co-located).
+    Returns ``(doc_id, term_id, weight DOUBLE)``.
+    """
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl)))
+    w = idf * tf * F.lit(K1 + 1.0) / norm
+    return tf_df.join(vocab, "term").select(
+        F.col(id_col), F.col("term_id"), w.alias("weight")
+    )
+
+
+def corpus_stats(docs: DataFrame) -> tuple[int, float]:
+    """(N, avgdl) in one aggregation job."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)

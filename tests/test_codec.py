@@ -1,0 +1,66 @@
+"""Codec round-trip + quantization property tests (no Spark).
+
+Mirrors the reference's quantized_summary property test
+(quantized_summary.rs:408-598) and utils.rs:68-90 quantization semantics.
+"""
+
+import numpy as np
+import pytest
+
+from seismic_spark import codec
+
+
+@pytest.mark.parametrize("seed", [42, 7, 1142])
+def test_varint_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 2**40, size=500, dtype=np.uint64)
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(vals)), vals)
+
+
+def test_varint_empty():
+    assert codec.varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert codec.varint_decode(b"").size == 0
+
+
+@pytest.mark.parametrize("seed", [42, 7])
+def test_delta_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    ids = np.unique(rng.integers(0, 2**45, size=300, dtype=np.uint64))
+    assert np.array_equal(codec.delta_decode(codec.delta_encode(ids)), ids)
+
+
+def test_f16_roundtrip():
+    v = np.array([0.1, 1.5, 3.14159, 1000.25], dtype=np.float32)
+    rt = codec.f16_decode(codec.f16_encode(v))
+    assert np.array_equal(rt, v.astype(np.float16).astype(np.float32))
+
+
+def test_quantize_nearest_matches_reference_semantics():
+    # code = round((v-min)/quant), quant=(max-min)/255 (utils.rs:68-90)
+    v = np.array([0.0, 0.5, 1.0], dtype=np.float32)
+    codes, lo, quant = codec.quantize_u8(v, ceil=False)
+    assert lo == 0.0 and abs(quant - 1.0 / 255) < 1e-9
+    # scaled = 0.5/quant ≈ 127.49998 in f32 → nearest is 127
+    assert list(codes) == [0, 127, 255]
+
+
+@pytest.mark.parametrize("seed", [0, 42, 1142])
+def test_quantize_ceil_upper_bounds(seed):
+    """ceil-mode dequantized values must dominate the float64 inputs —
+    the exactness contract for block skipping at heap_factor=1.0."""
+    rng = np.random.default_rng(seed)
+    for _ in range(50):
+        v = rng.uniform(0, 30, size=rng.integers(1, 200)).astype(np.float64)
+        codes, lo, quant = codec.quantize_u8(v, ceil=True)
+        deq = codec.dequantize_u8(codes, lo, quant)
+        assert (deq.astype(np.float64) >= v).all()
+        # and stays tight: within ~2 quantization steps
+        if quant > 0:
+            assert (deq.astype(np.float64) - v).max() <= 2.5 * quant + 1e-6
+
+
+def test_quantize_constant_vector_is_exact():
+    v = np.full(17, 3.75, dtype=np.float32)
+    codes, lo, quant = codec.quantize_u8(v, ceil=True)
+    assert quant == 0.0
+    assert np.array_equal(codec.dequantize_u8(codes, lo, quant), v)
