@@ -56,6 +56,7 @@ class SeismicSparkIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         cache: bool = True,
+        with_postings: bool = True,
     ) -> "SeismicSparkIndex":
         """Tokenize → BM25-weight → vocab/forward/postings tables.
 
@@ -72,9 +73,12 @@ class SeismicSparkIndex:
         tf_df = textprep.term_frequencies(toks, id_col)
         dtw = textprep.bm25_weights(tf_df, vocab, n_docs, avgdl, id_col)
         forward = fwd.build_forward(dtw, id_col).persist()
-        postings = pst.build_postings(dtw, forward, cfg, n_terms, id_col)
-        if cache:
-            postings = postings.persist()
+        if with_postings:
+            postings = pst.build_postings(dtw, forward, cfg, n_terms, id_col)
+            if cache:
+                postings = postings.persist()
+        else:  # vocab/forward-only (enough for brute-force oracle runs)
+            postings = None
         return cls(spark, vocab, forward, postings, n_docs, avgdl, cfg)
 
     # ------------------------------------------------------------ search ----
