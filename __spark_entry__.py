@@ -89,11 +89,11 @@ w AS (
               / (tfc.tf + 1.2 * (0.25 + 0.75 * tfc.dl / stats.avgdl)) AS wgt
   FROM tfc JOIN dfc USING (term) JOIN {_query_values_sql()} ON q.term = tfc.term,
        stats),
-s AS (SELECT query_id, doc_id, sum(wgt) AS score FROM w GROUP BY ALL),
+s AS (SELECT query_id, doc_id, round(sum(wgt), 4) AS score FROM w GROUP BY ALL),
 r AS (SELECT query_id,
              CAST(row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-             doc_id, round(score, 4) AS score
+             doc_id, score
       FROM s WHERE score > 0)
 SELECT query_id, rank, doc_id, score FROM r WHERE rank <= {K}
 """
@@ -166,22 +166,36 @@ def _q_forward_bm25(spark, sf_dir):
     )
 
 
+def _rerank_rounded(res: DataFrame, k: int) -> DataFrame:
+    """Rank on the ROUNDED score (ties → doc_id asc).
+
+    Raw double scores differ between engines at ~1e-15 (summation order), so
+    near-duplicate docs would tie-break nondeterministically across engines.
+    The engine retrieves k+margin by raw score, then both sides rank on the
+    4dp-rounded score identically.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        res.select("query_id", "doc_id", F.round("score", 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def _q_bruteforce_topk(spark, sf_dir):
     idx = _build_index(spark, sf_dir, with_postings=False)
-    res = idx.bruteforce(SEARCH_QUERIES, k=K)
-    return res.select(
-        "query_id", F.col("rank").cast("bigint").alias("rank"), "doc_id",
-        F.round("score", 4).alias("score"),
-    )
+    return _rerank_rounded(idx.bruteforce(SEARCH_QUERIES, k=K + 20), K)
 
 
 def _q_seismic_topk(spark, sf_dir):
     idx = _build_index(spark, sf_dir)
-    res = idx.batch_search(SEARCH_QUERIES, k=K, query_cut=50, heap_factor=1.0)
-    return res.select(
-        "query_id", F.col("rank").cast("bigint").alias("rank"), "doc_id",
-        F.round("score", 4).alias("score"),
-    )
+    res = idx.batch_search(SEARCH_QUERIES, k=K + 20, query_cut=50, heap_factor=1.0)
+    return _rerank_rounded(res, K)
 
 
 def _q_postings_stats(spark, sf_dir):

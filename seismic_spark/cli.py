@@ -1,0 +1,109 @@
+"""spark-submit entry points: build / search / bench.
+
+Cluster usage (north rule: `spark-submit --py-files` on a multi-executor
+cluster):
+
+    zip -r seismic_spark.zip seismic_spark
+    spark-submit --py-files seismic_spark.zip -m seismic_spark.cli \
+        build --input /data/pages --output /indexes/cc --n-postings 3500
+
+Local usage:
+    python -m seismic_spark.cli build --input ... --output ...
+    python -m seismic_spark.cli search --index ... --query "spark join window"
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _spark(args) -> SparkSession:
+    from seismic_spark.session import get_spark
+
+    if args.master:
+        b = SparkSession.builder.appName("seismic-cli").master(args.master)
+        return b.getOrCreate()
+    return get_spark("seismic-cli")
+
+
+def cmd_build(args) -> None:
+    from seismic_spark.checkpoint import CheckpointedBuild
+    from seismic_spark.postings import IndexConfig
+    from seismic_spark.textprep import with_extracted_text
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if "text" not in docs.columns and "html" in docs.columns:
+        docs = with_extracted_text(docs)
+    if "doc_id" not in docs.columns:
+        from pyspark.sql import functions as F
+
+        docs = docs.withColumn("doc_id", F.abs(F.xxhash64("url")))
+    cfg = IndexConfig(
+        n_postings=args.n_postings,
+        pruning=args.pruning,
+        summary_energy=args.summary_energy,
+        blocking=args.blocking,
+    )
+    ckpt = CheckpointedBuild(spark, args.output, resume=not args.no_resume)
+    ckpt.build(docs, cfg)
+    print(json.dumps(ckpt.metrics))
+
+
+def cmd_search(args) -> None:
+    from seismic_spark.index import SeismicSparkIndex
+
+    spark = _spark(args)
+    idx = SeismicSparkIndex.load(spark, args.index)
+    res = idx.search_text(
+        "q0", args.query, k=args.k, query_cut=args.query_cut,
+        heap_factor=args.heap_factor,
+    )
+    for r in res.collect():
+        print(f"{r.rank}\t{r.doc_id}\t{r.score:.4f}")
+
+
+def cmd_bench(args) -> None:
+    import bench
+
+    print(json.dumps(bench.run(args.sf_dir, args.cores)))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="seismic-spark")
+    p.add_argument("--master", default=None, help="override Spark master URL")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index from a pages/docs parquet")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--n-postings", type=int, default=3500)
+    b.add_argument("--pruning", default="fixed", choices=["fixed", "global", "none"])
+    b.add_argument("--summary-energy", type=float, default=1.0)
+    b.add_argument("--blocking", default="geometric", choices=["geometric", "fixed"])
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="free-text search against a saved index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--query-cut", type=int, default=10)
+    s.add_argument("--heap-factor", type=float, default=1.0)
+    s.set_defaults(fn=cmd_search)
+
+    be = sub.add_parser("bench", help="run the headline benchmark")
+    be.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    be.add_argument("--cores", type=int, default=32)
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

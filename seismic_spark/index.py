@@ -71,7 +71,8 @@ class SeismicSparkIndex:
         vocab = voc.build_vocab(toks, id_col).persist()
         n_terms = vocab.count()
         tf_df = textprep.term_frequencies(toks, id_col)
-        dtw = textprep.bm25_weights(tf_df, vocab, n_docs, avgdl, id_col)
+        # persist: consumed twice (forward build + pruning windows)
+        dtw = textprep.bm25_weights(tf_df, vocab, n_docs, avgdl, id_col).persist()
         forward = fwd.build_forward(dtw, id_col).persist()
         if with_postings:
             postings = pst.build_postings(dtw, forward, cfg, n_terms, id_col)
@@ -89,7 +90,6 @@ class SeismicSparkIndex:
         k: int = 10,
         query_cut: int = 10,
         heap_factor: float = 1.0,
-        probe_blocks: int = 8,
     ) -> DataFrame:
         """(query_id, rank, doc_id, score) for a batch of term-weighted
         queries; unknown terms silently dropped (P3)."""
@@ -102,7 +102,6 @@ class SeismicSparkIndex:
             k=k,
             query_cut=query_cut,
             heap_factor=heap_factor,
-            probe_blocks=probe_blocks,
         )
 
     def search(

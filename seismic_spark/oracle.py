@@ -1,0 +1,203 @@
+"""Single-process numpy oracle with the engine's exact semantics (no Spark).
+
+SURVEY.md §5 "Oracle 2": a deterministic reference implementation of the
+*distributed* engine's search semantics — same BM25 weighting, same pruning
+(I1 top-n per term by weight desc/doc_id asc), same blocking, same
+energy-truncated ceil-quantized summaries (shared code: codec.py,
+postings.block_of_rank_np / truncate_energy), same in-plan θ rule
+(max over matched terms of the k-th largest qw·block_max), same skip rule
+(ub ≥ heap_factor·θ) and the same tie-break (score desc, doc_id asc).
+
+The Spark engine must reproduce this oracle's top-k doc ids rank-identically
+at ANY config — including pruned/approximate ones where the exact-BM25 SQL
+oracle no longer applies.  (Rust-reference RNG streams can't be reproduced
+from Python, so rank-identity is defined against this faithful oracle —
+SURVEY.md §5.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from math import log
+
+import numpy as np
+
+from seismic_spark import codec
+from seismic_spark.postings import IndexConfig, block_of_rank_np, truncate_energy
+from seismic_spark.textprep import B, K1
+
+
+@dataclass
+class OracleIndex:
+    vocab: dict[str, int]
+    df: np.ndarray
+    doc_ids: np.ndarray  # sorted asc
+    fwd_terms: list[np.ndarray]
+    fwd_weights: list[np.ndarray]
+    postings: dict[int, dict] = field(default_factory=dict)
+    cfg: IndexConfig = field(default_factory=IndexConfig)
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in text.lower().split(" ") if t]
+
+
+def build(docs: list[tuple[int, str]], cfg: IndexConfig | None = None) -> OracleIndex:
+    cfg = cfg or IndexConfig()
+    toks = {d: tokenize(t) for d, t in docs}
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs if n_docs else 0.0
+    terms = sorted({t for v in toks.values() for t in v})
+    vocab = {t: i for i, t in enumerate(terms)}
+    df = np.zeros(len(terms), dtype=np.int64)
+    for v in toks.values():
+        for t in set(v):
+            df[vocab[t]] += 1
+
+    doc_ids = np.asarray(sorted(toks), dtype=np.int64)
+    fwd_terms: list[np.ndarray] = []
+    fwd_weights: list[np.ndarray] = []
+    entries: dict[int, list[tuple[float, int]]] = {}
+    for pos, d in enumerate(doc_ids.tolist()):
+        tl = toks[d]
+        dl = len(tl)
+        tf: dict[int, int] = {}
+        for t in tl:
+            tf[vocab[t]] = tf.get(vocab[t], 0) + 1
+        tids = np.asarray(sorted(tf), dtype=np.int64)
+        ws = np.empty(tids.size, dtype=np.float64)
+        for i, tid in enumerate(tids.tolist()):
+            idf = log(1.0 + (n_docs - df[tid] + 0.5) / (df[tid] + 0.5))
+            c = tf[tid]
+            ws[i] = idf * c * (K1 + 1.0) / (c + K1 * (1.0 - B + B * dl / avgdl))
+            entries.setdefault(tid, []).append((ws[i], d))
+        fwd_terms.append(tids)
+        fwd_weights.append(ws)
+
+    idx = OracleIndex(vocab, df, doc_ids, fwd_terms, fwd_weights, {}, cfg)
+    pos_of = {int(d): i for i, d in enumerate(doc_ids.tolist())}
+    for tid, lst in entries.items():
+        # I1 pruning order: weight desc, doc_id asc
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        lst = lst[: cfg.n_postings]
+        ranks = np.arange(len(lst))
+        blocks = block_of_rank_np(ranks, cfg)
+        p: dict = {"blocks": []}
+        for b in np.unique(blocks):
+            sel = [lst[i] for i in np.flatnonzero(blocks == b)]
+            ids = np.asarray(sorted(d for _, d in sel), dtype=np.int64)
+            bmax = np.float32(max(w for w, _ in sel))
+            # component-wise max over member docs' full vectors
+            comp: dict[int, float] = {}
+            for _, d in sel:
+                i = pos_of[d]
+                for t, w in zip(idx.fwd_terms[i].tolist(), idx.fwd_weights[i].tolist()):
+                    if w > comp.get(t, -1.0):
+                        comp[t] = w
+            st = np.asarray(sorted(comp), dtype=np.int64)
+            sv = np.asarray([comp[t] for t in st.tolist()], dtype=np.float64)
+            st, sv = truncate_energy(st, sv, cfg.summary_energy)
+            codes, lo, quant = codec.quantize_u8(sv, ceil=cfg.quant_ceil)
+            p["blocks"].append(
+                {"ids": ids, "bmax": float(bmax), "s_terms": st, "s_codes": codes,
+                 "s_min": lo, "s_quant": quant}
+            )
+        idx.postings[tid] = p
+    return idx
+
+
+def search(
+    idx: OracleIndex,
+    queries: list[tuple[str, list[str], list[float]]],
+    k: int = 10,
+    query_cut: int = 10,
+    heap_factor: float = 1.0,
+) -> list[tuple[str, int, int, float]]:
+    """Returns [(query_id, rank, doc_id, score)] with the engine's exact
+    candidate-selection and tie-break semantics."""
+    pos_of = {int(d): i for i, d in enumerate(idx.doc_ids.tolist())}
+    out: list[tuple[str, int, int, float]] = []
+    for qid, terms, weights in queries:
+        pairs = sorted(
+            (idx.vocab[t], float(w)) for t, w in zip(terms, weights) if t in idx.vocab
+        )
+        if not pairs:
+            continue
+        qt = np.asarray([p[0] for p in pairs], dtype=np.int64)
+        qw = np.asarray([p[1] for p in pairs], dtype=np.float64)
+        cut_order = np.argsort(-qw, kind="stable")[:query_cut]
+        cut_terms = qt[cut_order]
+
+        # θ: max over matched terms of k-th largest qw_t · bmax_b
+        theta = None
+        for t in cut_terms.tolist():
+            p = idx.postings.get(t)
+            if p is None:
+                continue
+            qw_t = float(qw[np.searchsorted(qt, t)])
+            lbs = sorted((qw_t * b["bmax"] for b in p["blocks"]), reverse=True)
+            if len(lbs) >= k:
+                cand = lbs[k - 1]
+                theta = cand if theta is None else max(theta, cand)
+
+        cands: set[int] = set()
+        for t in cut_terms.tolist():
+            p = idx.postings.get(t)
+            if p is None:
+                continue
+            for b in p["blocks"]:
+                vals = codec.dequantize_u8(b["s_codes"], b["s_min"], b["s_quant"])
+                st = b["s_terms"]
+                ii = np.searchsorted(qt, st)
+                ii_c = np.minimum(ii, qt.size - 1)
+                m = qt[ii_c] == st
+                ub = float(np.dot(qw[ii_c][m], vals.astype(np.float64)[m]))
+                if theta is not None and ub < heap_factor * theta:
+                    continue
+                cands.update(int(x) for x in b["ids"].tolist())
+
+        scored: list[tuple[float, int]] = []
+        for d in cands:
+            i = pos_of[d]
+            ft, fw = idx.fwd_terms[i], idx.fwd_weights[i]
+            ii = np.searchsorted(qt, ft)
+            ii_c = np.minimum(ii, qt.size - 1)
+            m = qt[ii_c] == ft
+            s = float(np.dot(qw[ii_c][m], fw[m]))
+            scored.append((s, d))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for r, (s, d) in enumerate(scored[:k], start=1):
+            out.append((qid, r, d, s))
+    return out
+
+
+def bruteforce(
+    idx: OracleIndex,
+    queries: list[tuple[str, list[str], list[float]]],
+    k: int = 10,
+) -> list[tuple[str, int, int, float]]:
+    """Exact full-scan BM25 top-k (Q10 analogue; scores > 0 only)."""
+    out = []
+    for qid, terms, weights in queries:
+        pairs = sorted(
+            (idx.vocab[t], float(w)) for t, w in zip(terms, weights) if t in idx.vocab
+        )
+        if not pairs:
+            continue
+        qt = np.asarray([p[0] for p in pairs], dtype=np.int64)
+        qw = np.asarray([p[1] for p in pairs], dtype=np.float64)
+        scored = []
+        for i, d in enumerate(idx.doc_ids.tolist()):
+            ft, fw = idx.fwd_terms[i], idx.fwd_weights[i]
+            if ft.size == 0:
+                continue
+            ii = np.searchsorted(qt, ft)
+            ii_c = np.minimum(ii, qt.size - 1)
+            m = qt[ii_c] == ft
+            s = float(np.dot(qw[ii_c][m], fw[m]))
+            if s > 0:
+                scored.append((s, int(d)))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for r, (s, d) in enumerate(scored[:k], start=1):
+            out.append((qid, r, d, s))
+    return out

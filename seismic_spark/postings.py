@@ -12,12 +12,14 @@ posting_list.rs:302-368 summaries; utils.rs:68-90 quantization):
   fixed or geometric blocks (geometric per BASELINE.json north star: sizes
   b0·2^i capped at `block_cap`, then linear).
 - **Summaries** (M1/M2): per (term, block), component-wise max over member
-  docs' FULL forward vectors — computed as a pure DataFrame aggregation
-  (map-side combinable max), not a UDF; optional energy-preserving truncation
-  (posting_list.rs:329-368) + u8 affine quantization in a scalar pandas UDF.
-  With ``summary_energy=1.0`` and ``quant_ceil=True`` the dequantized summary
-  dot upper-bounds every member doc's true dot product → block skipping at
-  heap_factor=1.0 is EXACT.
+  docs' FULL forward vectors.  Computed inside ONE ``applyInPandas`` per
+  (term, salt) group: member vectors ride along the single entries⋈forward
+  join as Arrow array columns (a narrow-row explode→aggregate formulation
+  was 10× slower: it shuffles Σ entries×nnz individual rows).  Optional
+  energy-preserving truncation (posting_list.rs:329-368) + u8 affine
+  quantization, all numpy.  With ``summary_energy=1.0`` and
+  ``quant_ceil=True`` the dequantized summary dot upper-bounds every member
+  doc's true dot product → block skipping at heap_factor=1.0 is EXACT.
 - **Encoding**: per block, doc ids sorted ascending → delta-gap + varint
   BINARY; weights → f16 BINARY (codec.py), per north rule.
 
@@ -41,7 +43,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -188,63 +190,160 @@ def block_of_rank_np(rank: np.ndarray, cfg: IndexConfig) -> np.ndarray:
     return out.astype(np.int32)
 
 
-# ------------------------------------------------- summaries + encoding -----
+# ------------------------------------------------- posting-row builder ------
 
-_SUMMARY_SCHEMA = StructType(
+POSTINGS_SCHEMA = StructType(
     [
-        StructField("terms", ArrayType(IntegerType())),
-        StructField("codes", BinaryType()),
-        StructField("smin", FloatType()),
-        StructField("squant", FloatType()),
+        StructField("term_id", IntegerType()),
+        StructField("salt", IntegerType()),
+        StructField("n_docs", IntegerType()),
+        StructField("blocks", ArrayType(IntegerType())),
+        StructField("block_lens", ArrayType(IntegerType())),
+        StructField("doc_gaps", ArrayType(BinaryType())),
+        StructField("weights_f16", ArrayType(BinaryType())),
+        StructField("block_max", ArrayType(FloatType())),
+        StructField("summary_terms", ArrayType(ArrayType(IntegerType()))),
+        StructField("summary_codes", ArrayType(BinaryType())),
+        StructField("summary_min", ArrayType(FloatType())),
+        StructField("summary_quant", ArrayType(FloatType())),
     ]
 )
 
 
-def make_summary_udf(energy: float, quant_ceil: bool):
-    """Scalar pandas UDF: (terms[], maxvals[]) → truncated+quantized summary.
+def _component_max(terms_arrays: list, weights_arrays: list) -> tuple[np.ndarray, np.ndarray]:
+    """Component-wise max over member docs' (terms, weights) CSR rows."""
+    t = np.concatenate([np.asarray(a, dtype=np.int64) for a in terms_arrays])
+    w = np.concatenate([np.asarray(a, dtype=np.float64) for a in weights_arrays])
+    order = np.argsort(t, kind="stable")
+    t, w = t[order], w[order]
+    uniq, starts = np.unique(t, return_index=True)
+    mx = np.maximum.reduceat(w, starts)
+    return uniq, mx
 
-    Energy-preserving truncation mirrors posting_list.rs:329-368: sort values
+
+def truncate_energy(
+    terms: np.ndarray, vals: np.ndarray, energy: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """EnergyPreserving truncation (M2, posting_list.rs:329-368): sort values
     descending, keep the prefix whose running sum first reaches
-    energy × total (take-while-inclusive), re-sort kept terms ascending.
+    energy × total (take-while-inclusive), re-sort kept terms ascending."""
+    if energy >= 1.0 or vals.size == 0:
+        return terms, vals
+    order = np.argsort(-vals, kind="stable")
+    cum = np.cumsum(vals[order].astype(np.float64))
+    keep_n = int(np.searchsorted(cum, energy * cum[-1], side="left")) + 1
+    keep = np.sort(order[:keep_n])
+    return terms[keep], vals[keep]
+
+
+def _build_one_list(pdf: pd.DataFrame, cfg: IndexConfig, id_col: str) -> dict:
+    """One (term_id, salt) slice (rank-sorted) → one postings row (as dict).
+
+    All block slicing / encoding / summarization is vectorized numpy —
+    mirrors PostingList::build (posting_list.rs:375-450) with the rayon
+    per-term parallelism replaced by the shuffle into partitions.
+    """
+    term_id = int(pdf["term_id"].iloc[0])
+    salt = int(pdf["salt"].iloc[0])
+    blocks_arr = pdf["block"].to_numpy()
+    uniq_blocks, block_starts = np.unique(blocks_arr, return_index=True)
+    doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
+    weights = pdf["weight"].to_numpy(dtype=np.float64)
+    d_terms = pdf["terms"].to_numpy()
+    d_weights = pdf["weights"].to_numpy()
+
+    blk, lens, gaps, wbins, bmaxs = [], [], [], [], []
+    s_terms, s_codes, s_min, s_quant = [], [], [], []
+    bounds = list(block_starts) + [len(pdf)]
+    for bi, b in enumerate(uniq_blocks):
+        s, e = bounds[bi], bounds[bi + 1]
+        ids = doc_ids[s:e]
+        ws = weights[s:e]
+        order = np.argsort(ids, kind="stable")
+        blk.append(int(b))
+        lens.append(int(e - s))
+        gaps.append(codec.delta_encode(ids[order].astype(np.uint64)))
+        wbins.append(codec.f16_encode(ws[order]))
+        bmaxs.append(np.float32(ws.max()))
+        ut, mx = _component_max(list(d_terms[s:e]), list(d_weights[s:e]))
+        ut32 = ut.astype(np.int32)
+        mx32 = mx  # keep float64; quantize_u8 handles safe f32 conversion
+        ut32, mx32 = truncate_energy(ut32, mx32, cfg.summary_energy)
+        codes, lo, quant = codec.quantize_u8(mx32, ceil=cfg.quant_ceil)
+        s_terms.append(ut32)
+        s_codes.append(codes.tobytes())
+        s_min.append(np.float32(lo))
+        s_quant.append(np.float32(quant))
+
+    return {
+        "term_id": term_id,
+        "salt": salt,
+        "n_docs": len(pdf),
+        "blocks": blk,
+        "block_lens": lens,
+        "doc_gaps": gaps,
+        "weights_f16": wbins,
+        "block_max": bmaxs,
+        "summary_terms": s_terms,
+        "summary_codes": s_codes,
+        "summary_min": s_min,
+        "summary_quant": s_quant,
+    }
+
+
+def make_stream_builder(cfg: IndexConfig, id_col: str = "doc_id"):
+    """mapInPandas builder over term-hash-partitioned, (term,salt,rank)-sorted
+    entries: processes MANY posting lists per Arrow batch.
+
+    applyInPandas pays a per-group pandas conversion (~ms); with vocab-many
+    tiny groups that overhead dominates the build and doesn't parallelize.
+    Streaming over sorted partitions removes it: group boundaries are found
+    with numpy change-detection, and a batch-spanning list is carried over
+    to the next batch (lists are bounded by pruning + blocks_per_row, so the
+    carry stays small).
     """
 
-    @pandas_udf(_SUMMARY_SCHEMA)
-    def summarize(terms: pd.Series, vals: pd.Series) -> pd.DataFrame:
-        out_t, out_c, out_m, out_q = [], [], [], []
-        for t, v in zip(terms, vals):
-            t = np.asarray(t, dtype=np.int32)
-            v = np.asarray(v, dtype=np.float32)
-            if energy < 1.0 and v.size:
-                order = np.argsort(-v, kind="stable")
-                sv = v[order]
-                cum = np.cumsum(sv.astype(np.float64))
-                target = energy * cum[-1]
-                keep_n = int(np.searchsorted(cum, target, side="left")) + 1
-                keep = order[:keep_n]
-                keep.sort()
-                t, v = t[keep], v[keep]
-            codes, lo, quant = codec.quantize_u8(v, ceil=quant_ceil)
-            out_t.append(t)
-            out_c.append(codes.tobytes())
-            out_m.append(np.float32(lo))
-            out_q.append(np.float32(quant))
-        return pd.DataFrame(
-            {"terms": out_t, "codes": out_c, "smin": out_m, "squant": out_q}
-        )
+    def gen(it):
+        carry: pd.DataFrame | None = None
 
-    return summarize
+        def flush_complete(pdf: pd.DataFrame, final: bool):
+            keys = pdf["term_id"].to_numpy(dtype=np.int64) * (1 << 20) + pdf[
+                "salt"
+            ].to_numpy(dtype=np.int64)
+            if final:
+                cut = len(pdf)
+            else:
+                last_key = keys[-1]
+                cut = int(np.searchsorted(keys, last_key, side="left"))
+            complete, rest = pdf.iloc[:cut], pdf.iloc[cut:]
+            rows = []
+            if len(complete):
+                ck = keys[:cut]
+                starts = np.flatnonzero(np.concatenate(([True], ck[1:] != ck[:-1])))
+                bounds = list(starts) + [len(complete)]
+                for i in range(len(starts)):
+                    rows.append(
+                        _build_one_list(
+                            complete.iloc[bounds[i]:bounds[i + 1]], cfg, id_col
+                        )
+                    )
+            return rows, (rest if len(rest) else None)
 
+        for pdf in it:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            rows, carry = flush_complete(pdf, final=False)
+            if rows:
+                yield pd.DataFrame(rows)
+        if carry is not None and len(carry):
+            rows, _ = flush_complete(carry, final=True)
+            if rows:
+                yield pd.DataFrame(rows)
 
-@pandas_udf(BinaryType())
-def encode_gaps_udf(ids: pd.Series) -> pd.Series:
-    """ARRAY<BIGINT> (sorted asc) → delta-gap + varint BINARY."""
-    return ids.map(lambda a: codec.delta_encode(np.asarray(a, dtype=np.uint64)))
-
-
-@pandas_udf(BinaryType())
-def encode_f16_udf(vals: pd.Series) -> pd.Series:
-    """ARRAY<DOUBLE> → f16 BINARY."""
-    return vals.map(lambda a: codec.f16_encode(np.asarray(a, dtype=np.float32)))
+    return gen
 
 
 # --------------------------------------------------------------- build ------
@@ -259,103 +358,23 @@ def build_postings(
 ) -> DataFrame:
     """(doc_id, term_id, weight) + forward → postings table (schema above).
 
-    Dataflow (each arrow a Catalyst-planned stage; no driver loops):
-      prune (salted window) → rank → block
-      entries ⋈ forward-exploded on doc_id → groupBy(list_term, block,
-        component) max → groupBy(list_term, block) collect → summary UDF
-      entries groupBy(term, salt, block) collect → encode UDFs
-      blocks ⋈ summaries on (term, salt) → postings rows
+    Dataflow: prune (salted window) → rank → block → join member docs' full
+    vectors (shuffle join on doc_id; vectors travel as Arrow arrays) →
+    repartition by hash(term_id, salt) + sortWithinPartitions →
+    mapInPandas stream builder (many lists per Arrow batch — see
+    make_stream_builder for why not applyInPandas).  Two shuffles total;
+    list size is bounded by pruning (≤ n_postings × max_fraction entries)
+    and `blocks_per_row` salting, so no task sees an unbounded head term.
     """
     pruned = prune(dtw, n_terms, cfg, id_col)
     entries = pruned.withColumn("block", block_of_rank_col(F.col("rank"), cfg))
     entries = entries.withColumn(
         "salt", (F.col("block") / cfg.blocks_per_row).cast("int")
     )
-    entries = entries.persist()
-
-    # --- per-block component-wise max over member docs' full vectors ---
-    fwd_flat = forward.select(
-        id_col,
-        F.explode(F.arrays_zip("terms", "weights")).alias("_c"),
-    ).select(id_col, F.col("_c.terms").alias("c_term"), F.col("_c.weights").alias("c_w"))
-    comp_max = (
-        entries.select(F.col("term_id").alias("l_term"), "salt", "block", id_col)
-        .join(fwd_flat, id_col)
-        .groupBy("l_term", "salt", "block", "c_term")
-        .agg(F.max("c_w").alias("c_max"))
+    joined = entries.join(forward, id_col).select(
+        "term_id", "salt", "block", "rank", id_col, "weight", "terms", "weights"
     )
-    summaries_raw = (
-        comp_max.groupBy("l_term", "salt", "block")
-        .agg(F.sort_array(F.collect_list(F.struct("c_term", "c_max"))).alias("_s"))
-        .select(
-            "l_term",
-            "salt",
-            "block",
-            F.col("_s.c_term").alias("s_terms"),
-            F.col("_s.c_max").alias("s_vals"),
-        )
+    parted = joined.repartition(F.col("term_id"), F.col("salt")).sortWithinPartitions(
+        "term_id", "salt", "rank"
     )
-    summarize = make_summary_udf(cfg.summary_energy, cfg.quant_ceil)
-    summaries = summaries_raw.withColumn(
-        "summ", summarize(F.col("s_terms"), F.col("s_vals"))
-    ).select("l_term", "salt", "block", "summ.*")
-    summary_rows = (
-        summaries.groupBy("l_term", "salt")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("block", "terms", "codes", "smin", "squant"))
-            ).alias("_b")
-        )
-        .select(
-            F.col("l_term").alias("term_id"),
-            "salt",
-            F.col("_b.terms").alias("summary_terms"),
-            F.col("_b.codes").alias("summary_codes"),
-            F.col("_b.smin").alias("summary_min"),
-            F.col("_b.squant").alias("summary_quant"),
-        )
-    )
-
-    # --- per-block id/weight encoding ---
-    by_block = (
-        entries.groupBy("term_id", "salt", "block")
-        .agg(
-            F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("d"), "weight"))).alias(
-                "_e"
-            ),
-            F.max("weight").alias("bmax"),
-            F.count(F.lit(1)).alias("blen"),
-        )
-        .select(
-            "term_id",
-            "salt",
-            "block",
-            F.col("_e.d").alias("ids"),
-            F.col("_e.weight").alias("ws"),
-            F.col("bmax").cast("float").alias("bmax"),
-            F.col("blen").cast("int").alias("blen"),
-        )
-        .withColumn("gaps", encode_gaps_udf(F.col("ids")))
-        .withColumn("wbin", encode_f16_udf(F.col("ws")))
-    )
-    block_rows = (
-        by_block.groupBy("term_id", "salt")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("block", "blen", "gaps", "wbin", "bmax"))
-            ).alias("_b"),
-            F.sum("blen").alias("n_docs"),
-        )
-        .select(
-            "term_id",
-            "salt",
-            F.col("n_docs").cast("int").alias("n_docs"),
-            F.col("_b.block").alias("blocks"),
-            F.col("_b.blen").alias("block_lens"),
-            F.col("_b.gaps").alias("doc_gaps"),
-            F.col("_b.wbin").alias("weights_f16"),
-            F.col("_b.bmax").alias("block_max"),
-        )
-    )
-    postings = block_rows.join(summary_rows, ["term_id", "salt"])
-    return postings
+    return parted.mapInPandas(make_stream_builder(cfg, id_col), POSTINGS_SCHEMA)

@@ -6,19 +6,25 @@ whose summary-estimated dot product is below ``heap_factor × θ`` (θ = current
 k-th best score); exactly re-score survivors against full doc vectors.
 
 Distributed re-design (deterministic — SURVEY.md §7.3): the reference's θ
-evolves inside one thread; we use a **two-phase threshold**:
+evolves inside one thread; a naive port would need a driver round-trip to
+share it.  Instead θ is derived **inside the plan** from block-max lower
+bounds, so the whole batch is ONE Spark job:
 
-  Phase A  score the top-``probe_blocks`` blocks per query (by summary upper
-           bound) exactly → θ = k-th best score found (a valid lower bound
-           on the final k-th score).
-  Phase B  keep every block with ``ub ≥ heap_factor × θ``, decode survivors,
-           exact-score once (dedup across lists = the reference's `visited`
-           set), global per-query top-k.
+  For a query term t with weight qw_t, every doc in a block b of t's posting
+  list scores at least qw_t × (its own stored weight); the block's best doc
+  scores ≥ qw_t × bmax_b.  Blocks of one list hold DISTINCT docs, so the
+  k-th largest qw_t·bmax over t's blocks is witnessed by k distinct docs →
+  it lower-bounds the final k-th best score.  θ_q = max over matched terms
+  of that per-term k-th largest (computed with a window over the same
+  matched-blocks frame — no action, no driver loop).
+
+  Blocks with ``summary_ub < heap_factor × θ_q`` are skipped; survivors are
+  decoded, deduped across lists (the reference's `visited` set), exactly
+  re-scored against full doc vectors, and top-k'ed per query.
 
 With upper-bound summaries (summary_energy=1.0, quant_ceil) and
 heap_factor=1.0 this is EXACT w.r.t. scanning the cut-term posting lists:
-any doc with true score ≥ θ_final sits in a block whose ub ≥ its score ≥
-θ_final ≥ θ_A, hence survives.
+any true top-k doc sits in a block whose ub ≥ its score ≥ θ_final ≥ θ_q.
 
 Physical plan: queries are broadcast (a few KB); `postings ⋈ query_terms` is
 a broadcast hash join that touches only matching term rows (partition-pruned
@@ -165,7 +171,8 @@ def _block_ubs(
     block's encoded doc ids, via mapInPandas (Arrow-vectorized)."""
 
     out_schema = (
-        "query_id STRING, term_id INT, salt INT, block INT, ub DOUBLE, gaps BINARY"
+        "query_id STRING, term_id INT, salt INT, block INT, ub DOUBLE, "
+        "lb DOUBLE, gaps BINARY"
     )
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -173,10 +180,14 @@ def _block_ubs(
             if pdf.empty:
                 continue
             rows: dict[str, list] = {
-                "query_id": [], "term_id": [], "salt": [], "block": [], "ub": [], "gaps": []
+                "query_id": [], "term_id": [], "salt": [], "block": [],
+                "ub": [], "lb": [], "gaps": [],
             }
             for r in pdf.itertuples(index=False):
                 qt, qw = qvecs[r.query_id]
+                # this list's query weight (for the block-max lower bound)
+                ti = np.searchsorted(qt, r.term_id)
+                qw_t = float(qw[ti]) if ti < qt.size and qt[ti] == r.term_id else 0.0
                 blocks = r.blocks
                 for i in range(len(blocks)):
                     st = np.asarray(r.summary_terms[i], dtype=np.int64)
@@ -194,6 +205,7 @@ def _block_ubs(
                     rows["salt"].append(r.salt)
                     rows["block"].append(int(blocks[i]))
                     rows["ub"].append(ub)
+                    rows["lb"].append(qw_t * float(r.block_max[i]))
                     rows["gaps"].append(bytes(r.doc_gaps[i]))
             yield pd.DataFrame(rows)
 
@@ -237,43 +249,32 @@ def batch_search(
     k: int = 10,
     query_cut: int = 10,
     heap_factor: float = 1.0,
-    probe_blocks: int = 8,
 ) -> DataFrame:
-    """Two-phase dynamically-pruned batch top-k (Q1/Q9 analogue).
+    """Dynamically-pruned batch top-k (Q1/Q9 analogue), single logical plan.
 
-    Returns (query_id, rank, doc_id, score) for all queries in one plan.
+    Returns (query_id, rank, doc_id, score) for all queries; no driver-side
+    loops or mid-plan actions — the threshold θ is a window aggregate over
+    the same matched-blocks frame (see module docstring for the bound).
     """
     qterms = cut_terms_df(spark, qvecs, query_cut)
     matched = postings.join(F.broadcast(qterms), "term_id")
-    ubs = _block_ubs(matched, qvecs).persist()
+    ubs = _block_ubs(matched, qvecs)
 
-    # Phase A: exact-score the best probe_blocks blocks/query → θ lower bound
-    wA = Window.partitionBy("query_id").orderBy(
-        F.col("ub").desc(), F.col("term_id"), F.col("salt"), F.col("block")
-    )
-    probes = ubs.withColumn("_r", F.row_number().over(wA)).filter(
-        F.col("_r") <= probe_blocks
-    )
-    candA = _decode_docs(probes)
-    scoredA = exact_score(candA, forward, qvecs)
-    thetaA = (
-        topk(scoredA, k)
+    # θ_q = max over terms of the k-th largest per-term block-max lower bound
+    wt = Window.partitionBy("query_id", "term_id").orderBy(F.col("lb").desc())
+    theta = (
+        ubs.select("query_id", "term_id", "lb")
+        .withColumn("_r", F.row_number().over(wt))
+        .filter(F.col("_r") == k)
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("score").alias("kth"))
-        .collect()
+        .agg(F.max("lb").alias("theta"))
     )
-    theta = {r["query_id"]: (r["kth"] if r["n"] >= k else float("-inf")) for r in thetaA}
-
-    # Phase B: keep blocks whose UB can still beat heap_factor × θ
-    theta_rows = [(qid, t) for qid, t in theta.items()] or [("__none__", float("-inf"))]
-    theta_df = spark.createDataFrame(theta_rows, "query_id STRING, theta DOUBLE")
-    survivors = ubs.join(F.broadcast(theta_df), "query_id", "left").filter(
+    survivors = ubs.join(theta, "query_id", "left").filter(
         F.col("theta").isNull() | (F.col("ub") >= F.lit(heap_factor) * F.col("theta"))
     )
     cands = _decode_docs(survivors)
     scored = exact_score(cands, forward, qvecs)
-    result = topk(scored, k)
-    return result
+    return topk(scored, k)
 
 
 def bruteforce_search(

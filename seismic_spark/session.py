@@ -39,4 +39,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # shuffle scratch: prefer tmpfs when available (sandbox disk ~400 MB/s
+    # is the bottleneck otherwise; cluster nodes have local NVMe)
+    if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_LOCAL_DIRS"):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     return builder.getOrCreate()

@@ -1,0 +1,57 @@
+"""Resume-from-checkpoint: killed builds redo only unfinished stages and the
+resumed index equals a from-scratch build (north rule)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from seismic_spark.checkpoint import CheckpointedBuild
+from seismic_spark.postings import IndexConfig
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, f"term_{i % 7} term_{i % 3} alpha beta term_{i % 11}") for i in range(60)],
+        "doc_id BIGINT, text STRING",
+    )
+
+
+def _postings_snapshot(idx):
+    rows = idx.postings.select("term_id", "salt", "n_docs", "blocks").collect()
+    return sorted((r.term_id, r.salt, r.n_docs, list(r.blocks)) for r in rows)
+
+
+def test_resume_skips_completed_stages(spark, docs_df, tmp_path):
+    path = str(tmp_path / "ckpt")
+    cfg = IndexConfig(n_postings=100, blocking="fixed", block_size=4)
+
+    full = CheckpointedBuild(spark, path, resume=True).build(docs_df, cfg)
+    want = _postings_snapshot(full)
+    lineage1 = json.load(open(os.path.join(path, "lineage.json")))
+    assert set(lineage1) == {"tokens", "vocab", "weights", "forward", "postings"}
+    assert all(s["status"] == "complete" for s in lineage1.values())
+    assert all(s["rows"] > 0 and s["files"] for s in lineage1.values())
+
+    # simulate a crash after stage 2: postings snapshot lost
+    shutil.rmtree(os.path.join(path, "postings"))
+    vocab_mtime = os.path.getmtime(os.path.join(path, "vocab", "_SUCCESS"))
+
+    resumed = CheckpointedBuild(spark, path, resume=True).build(docs_df, cfg)
+    assert _postings_snapshot(resumed) == want
+    # completed stages were NOT rebuilt
+    assert os.path.getmtime(os.path.join(path, "vocab", "_SUCCESS")) == vocab_mtime
+    lineage2 = json.load(open(os.path.join(path, "lineage.json")))
+    assert lineage2["vocab"].get("resumed") is True
+    assert lineage2["forward"].get("resumed") is True
+
+
+def test_config_change_invalidates_stages(spark, docs_df, tmp_path):
+    path = str(tmp_path / "ckpt2")
+    CheckpointedBuild(spark, path).build(docs_df, IndexConfig(n_postings=100))
+    v1 = os.path.getmtime(os.path.join(path, "postings", "_SUCCESS"))
+    CheckpointedBuild(spark, path).build(docs_df, IndexConfig(n_postings=5))
+    v2 = os.path.getmtime(os.path.join(path, "postings", "_SUCCESS"))
+    assert v2 > v1  # rebuilt under the new fingerprint

@@ -1,0 +1,202 @@
+"""Scaling-efficiency evidence: N vs 4N executors on a LOCAL STANDALONE
+Spark cluster (separate JVM per executor — the faithful sandbox stand-in for
+the north rule's two cluster sizes; plain local[N] shares one JVM and its GC,
+which anti-scales and measures nothing about the engine).
+
+Topology: one master + 8 workers × (2 cores, 8 GiB) on this machine.
+N = 2 executors (4 cores) vs 4N = 8 executors (16 cores) — chosen inside the
+region where this box's hardware itself scales linearly (see the pure-CPU
+calibration in BENCH/BASELINE.md; vCPUs beyond ~16 are oversubscribed).
+
+Each level runs in its own subprocess (fresh driver), connecting to the
+shared master with spark.cores.max capping the executor count.  Efficiency =
+(T_N / T_4N) / 4 on wall time of the timed phases.
+
+Usage:
+    python tools/bench_scaling.py [--docs 200000] [--vocab 50000] [--write-md]
+    python tools/bench_scaling.py --stop-cluster
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+MASTER = "spark://127.0.0.1:7077"
+DAEMON_ENV = {
+    "SPARK_LOG_DIR": "/tmp/spark-logs",
+    "SPARK_PID_DIR": "/tmp/spark-pids",
+    "SPARK_WORKER_DIR": "/tmp/spark-work",
+    # the sandbox disk tops out at ~400 MB/s — a shared-disk shuffle
+    # saturates with >4 executors and anti-scales; tmpfs removes disk
+    # from the measurement (a real cluster has per-node local disks)
+    "SPARK_LOCAL_DIRS": "/dev/shm/spark-local",
+}
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, "@REPO@")
+from pyspark.sql import SparkSession, functions as F
+from seismic_spark.index import SeismicSparkIndex
+from seismic_spark.postings import IndexConfig
+from seismic_spark.sources.pages import synth_pages
+from bench import bench_queries
+
+import os
+cores_max = @CORES@
+n_docs = @NDOCS@
+vocab_size = @VOCAB@
+spark = (SparkSession.builder.appName("scaling-%d" % cores_max)
+    .master("@MASTER@")
+    .config("spark.cores.max", str(cores_max))
+    .config("spark.executor.cores", "2")
+    .config("spark.executor.memory", "7g")
+    .config("spark.executorEnv.PYTHONPATH", "@REPO@")
+    # single-machine pseudo-cluster: brief locality wait (the 3s default
+    # stalls every wave; 0s causes cache-miss recompute storms)
+    .config("spark.locality.wait", "1s")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# Input is a real table on storage (like the Iceberg table in the north
+# rule), NOT a cached generator lineage — a non-local task must re-read a
+# parquet split, never re-run Python generation.
+input_path = "/dev/shm/scaling-input-%d-%d" % (n_docs, vocab_size)
+if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+    pages = synth_pages(spark, n_docs, vocab_size=vocab_size, seed=42, partitions=64)
+    pages.select("url", "text").withColumn(
+        "doc_id", F.abs(F.xxhash64("url"))
+    ).write.mode("overwrite").parquet(input_path)
+docs = spark.read.parquet(input_path)
+
+import shutil
+from seismic_spark.checkpoint import CheckpointedBuild
+ckpt_path = "/dev/shm/scaling-ckpt-%d" % cores_max
+shutil.rmtree(ckpt_path, ignore_errors=True)
+t0 = time.time()
+idx = CheckpointedBuild(spark, ckpt_path, resume=False, lineage_detail="light").build(
+    docs, IndexConfig(n_postings=1000, pruning="fixed",
+                      summary_energy=0.5, quant_ceil=True)
+)
+build_sec = time.time() - t0
+
+terms = [r["term"] for r in idx.vocab.filter(F.col("df") > 5).select("term").collect()]
+qs = bench_queries(terms, n=1000)
+t0 = time.time()
+idx.batch_search(qs, k=10, query_cut=10, heap_factor=0.8).count()
+search_sec = time.time() - t0
+
+spark.stop()
+print("RESULT " + json.dumps({
+    "cores": cores_max, "build_sec": round(build_sec, 2),
+    "search_sec": round(search_sec, 2),
+    "build_docs_per_sec": round(n_docs / build_sec, 1),
+    "search_qps": round(len(qs) / search_sec, 2),
+}))
+"""
+
+
+def ensure_cluster(workers: int = 8) -> None:
+    env = os.environ | DAEMON_ENV
+    for d in DAEMON_ENV.values():
+        os.makedirs(d, exist_ok=True)
+    probe = subprocess.run(
+        ["pgrep", "-f", "deploy.master.Master"], capture_output=True
+    )
+    if probe.returncode != 0:
+        subprocess.run(
+            [f"{SPARK_HOME}/sbin/start-master.sh", "--host", "127.0.0.1",
+             "--port", "7077", "--webui-port", "8090"],
+            env=env, check=True,
+        )
+        time.sleep(3)
+    probe = subprocess.run(
+        ["pgrep", "-cf", "deploy.worker.Worker"], capture_output=True, text=True
+    )
+    n_live = int(probe.stdout.strip() or 0) if probe.returncode == 0 else 0
+    if n_live < workers:
+        subprocess.run(
+            [f"{SPARK_HOME}/sbin/start-worker.sh", MASTER,
+             "--cores", "2", "--memory", "8g"],
+            env=env | {"SPARK_WORKER_INSTANCES": str(workers)}, check=True,
+        )
+        time.sleep(4)
+
+
+def stop_cluster() -> None:
+    env = os.environ | DAEMON_ENV | {"SPARK_WORKER_INSTANCES": "8"}
+    subprocess.run([f"{SPARK_HOME}/sbin/stop-worker.sh"], env=env)
+    subprocess.run([f"{SPARK_HOME}/sbin/stop-master.sh"], env=env)
+
+
+def run_level(cores_max: int, n_docs: int, vocab: int) -> dict:
+    code = (
+        CHILD.replace("@REPO@", REPO)
+        .replace("@CORES@", str(cores_max))
+        .replace("@NDOCS@", str(n_docs))
+        .replace("@VOCAB@", str(vocab))
+        .replace("@MASTER@", MASTER)
+    )
+    env = os.environ | {"PYTHONPATH": REPO}
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=3000,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT from cores={cores_max}:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200000)
+    ap.add_argument("--vocab", type=int, default=50000)
+    ap.add_argument("--n", type=int, default=4, help="small size in CORES (2 executors)")
+    ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--stop-cluster", action="store_true")
+    args = ap.parse_args()
+    if args.stop_cluster:
+        stop_cluster()
+        return
+
+    ensure_cluster(workers=8)
+    small = run_level(args.n, args.docs, args.vocab)
+    big = run_level(args.n * 4, args.docs, args.vocab)
+    eff_build = round(small["build_sec"] / big["build_sec"] / 4, 3)
+    eff_search = round(small["search_sec"] / big["search_sec"] / 4, 3)
+    result = {
+        "n_docs": args.docs, "vocab": args.vocab,
+        "N": small, "4N": big,
+        "scaling_efficiency_build": eff_build,
+        "scaling_efficiency_search": eff_search,
+    }
+    print(json.dumps(result, indent=2))
+    if args.write_md:
+        ex_n, ex_4n = args.n // 2, args.n * 2
+        md = f"""
+## Scaling evidence — standalone cluster, {ex_n} vs {ex_4n} executors × 2 cores ({args.docs} pages, vocab {args.vocab})
+
+| phase | {ex_n} executors | {ex_4n} executors | throughput N | throughput 4N | efficiency (T_N/T_4N)/4 |
+|---|---|---|---|---|---|
+| index build | {small['build_sec']} s | {big['build_sec']} s | {small['build_docs_per_sec']} docs/s | {big['build_docs_per_sec']} docs/s | {eff_build} |
+| batch search (1000 q) | {small['search_sec']} s | {big['search_sec']} s | {small['search_qps']} QPS | {big['search_qps']} QPS | {eff_search} |
+"""
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+            f.write(md)
+
+
+if __name__ == "__main__":
+    main()
