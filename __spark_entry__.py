@@ -294,18 +294,12 @@ def _q_multimodal(spark, sf_dir):
 
 
 def _q_events_hourly(spark, sf_dir):
+    # same code path as the Structured Streaming rollup (batch plan)
+    from seismic_spark.streaming.events import hourly_rollup
+
     _tune(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        ev.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-    )
+    return hourly_rollup(ev)
 
 
 # ------------------------------------------------------------- contract -----

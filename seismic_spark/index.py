@@ -71,8 +71,11 @@ class SeismicSparkIndex:
         vocab = voc.build_vocab(toks, id_col).persist()
         n_terms = vocab.count()
         tf_df = textprep.term_frequencies(toks, id_col)
+        dtw = textprep.bm25_weights(tf_df, vocab, n_docs, avgdl, id_col)
+        if cfg.value_type == "f16":
+            dtw = textprep.f16_round_trip_col(dtw)
         # persist: consumed twice (forward build + pruning windows)
-        dtw = textprep.bm25_weights(tf_df, vocab, n_docs, avgdl, id_col).persist()
+        dtw = dtw.persist()
         forward = fwd.build_forward(dtw, id_col).persist()
         if with_postings:
             postings = pst.build_postings(dtw, forward, cfg, n_terms, id_col)
@@ -135,6 +138,35 @@ class SeismicSparkIndex:
         """Exact full-scan ground truth (Q10)."""
         qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
         return srch.bruteforce_search(self.spark, self.forward, qvecs, k)
+
+    # --------------------------------------------------------------- knn ----
+
+    def build_knn(self, nknn: int = 10, **kw) -> DataFrame:
+        """Q8: κ-NN graph via batch self-search; cached on the instance."""
+        from seismic_spark import knn as knn_mod
+
+        self.knn = knn_mod.build_knn(self, nknn=nknn, **kw).persist()
+        return self.knn
+
+    def batch_search_knn(
+        self,
+        queries: list[tuple[str, list[str], list[float]]],
+        k: int = 10,
+        query_cut: int = 10,
+        heap_factor: float = 1.0,
+        n_knn: int = 5,
+    ) -> DataFrame:
+        """Q7: dynamically-pruned search + κ-NN neighbor refinement."""
+        from seismic_spark import knn as knn_mod
+
+        if getattr(self, "knn", None) is None:
+            raise ValueError("call build_knn() first")
+        qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
+        base = srch.batch_search(
+            self.spark, self.postings, self.forward, qvecs,
+            k=k, query_cut=query_cut, heap_factor=heap_factor,
+        )
+        return knn_mod.refine(base, self.knn, self.forward, qvecs, k=k, n_knn=n_knn)
 
     # ----------------------------------------------------- introspection ----
 

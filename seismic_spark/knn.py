@@ -1,0 +1,102 @@
+"""κ-NN graph over the indexed corpus: construction (Q8) + refinement (Q7).
+
+Reference: ``Knn::new`` self-queries the index for every doc (k=nknn+1,
+query_cut=10, heap_factor=0.7, drop self — inverted_index.rs:448-500) and
+``Knn::refine`` re-scores each result's stored neighbors (551-593).
+
+Spark shape: construction is a batch self-search — every doc's sparse vector
+becomes a query.  Queries are processed in bounded driver batches (each batch
+is one distributed job over broadcast query vectors); at cluster scale the
+batch size bounds driver memory while executors stream the heavy work.  The
+graph persists as a ``knn(doc_id BIGINT, neighbors ARRAY<BIGINT>)`` table
+(S8); loading may truncate neighbor lists (`nknn` param) like
+``new_from_serialized`` (inverted_index.rs:502-540).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seismic_spark import search as srch
+
+
+def build_knn(index, nknn: int = 10, batch_size: int = 2000,
+              query_cut: int = 10, heap_factor: float = 0.7) -> DataFrame:
+    """(doc_id, neighbors ARRAY<BIGINT>) — top-nknn neighbors per doc.
+
+    Reference parity: self-queries with the doc's own vector, drops the doc
+    itself, keeps nknn (inverted_index.rs:448-500; defaults 468-472).
+    """
+    spark = index.spark
+    rows = index.forward.select("doc_id", "terms", "weights").collect()
+    out_parts = []
+    for i in range(0, len(rows), batch_size):
+        chunk = rows[i : i + batch_size]
+        qvecs = {}
+        import numpy as np
+
+        for r in chunk:
+            t = np.asarray(r["terms"], dtype=np.int64)
+            w = np.asarray(r["weights"], dtype=np.float64)
+            if t.size:
+                qvecs[str(r["doc_id"])] = (t, w)
+        if not qvecs:
+            continue
+        res = srch.batch_search(
+            spark, index.postings, index.forward, qvecs,
+            k=nknn + 1, query_cut=query_cut, heap_factor=heap_factor,
+        )
+        neigh = (
+            res.filter(F.col("doc_id") != F.col("query_id").cast("bigint"))
+            .withColumn("_q", F.col("query_id").cast("bigint"))
+            .groupBy("_q")
+            .agg(
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("rank", "doc_id"))),
+                        lambda s: s["doc_id"],
+                    ),
+                    1,
+                    nknn,
+                ).alias("neighbors")
+            )
+            .select(F.col("_q").alias("doc_id"), "neighbors")
+        )
+        out_parts.append(neigh)
+    if not out_parts:
+        return spark.createDataFrame([], "doc_id BIGINT, neighbors ARRAY<BIGINT>")
+    knn = out_parts[0]
+    for p in out_parts[1:]:
+        knn = knn.unionByName(p)
+    return knn
+
+
+def refine(results: DataFrame, knn: DataFrame, forward: DataFrame,
+           qvecs: dict, k: int = 10, n_knn: int = 5) -> DataFrame:
+    """Q7: expand current top-k with their stored neighbors, exact-rescore,
+    re-rank.  One join to the knn table + one scoring pass; candidates are
+    deduped ((query, doc) distinct — the `visited` set analogue)."""
+    neigh_cands = (
+        results.join(knn, "doc_id")
+        .select("query_id", F.explode(F.slice("neighbors", 1, n_knn)).alias("doc_id"))
+    )
+    all_cands = results.select("query_id", "doc_id").unionByName(neigh_cands).distinct()
+    scored = srch.exact_score(all_cands, forward, qvecs)
+    return srch.topk(scored, k)
+
+
+def save_knn(knn: DataFrame, path: str) -> None:
+    """S8 sink."""
+    knn.write.mode("overwrite").parquet(os.path.join(path, "knn"))
+
+
+def load_knn(spark, path: str, nknn: int | None = None) -> DataFrame:
+    """S8 load with optional neighbor-count truncation
+    (inverted_index.rs:502-540)."""
+    knn = spark.read.parquet(os.path.join(path, "knn"))
+    if nknn is not None:
+        knn = knn.select("doc_id", F.slice("neighbors", 1, nknn).alias("neighbors"))
+    return knn

@@ -23,7 +23,12 @@ from math import log
 import numpy as np
 
 from seismic_spark import codec
-from seismic_spark.postings import IndexConfig, block_of_rank_np, truncate_energy
+from seismic_spark.postings import (
+    IndexConfig,
+    block_of_rank_np,
+    kmeans_blocks,
+    truncate_energy,
+)
 from seismic_spark.textprep import B, K1
 
 
@@ -70,18 +75,45 @@ def build(docs: list[tuple[int, str]], cfg: IndexConfig | None = None) -> Oracle
             idf = log(1.0 + (n_docs - df[tid] + 0.5) / (df[tid] + 0.5))
             c = tf[tid]
             ws[i] = idf * c * (K1 + 1.0) / (c + K1 * (1.0 - B + B * dl / avgdl))
-            entries.setdefault(tid, []).append((ws[i], d))
+        if cfg.value_type == "f16":
+            # f64→f16→f64 directly, matching the engine UDF's rounding path
+            ws = ws.astype(np.float16).astype(np.float64)
+        for i, tid in enumerate(tids.tolist()):
+            entries.setdefault(tid, []).append((float(ws[i]), d))
         fwd_terms.append(tids)
         fwd_weights.append(ws)
 
     idx = OracleIndex(vocab, df, doc_ids, fwd_terms, fwd_weights, {}, cfg)
     pos_of = {int(d): i for i, d in enumerate(doc_ids.tolist())}
+
+    # GlobalThreshold (I2) semantics shared with the engine: keep all entries
+    # with weight >= the (n_terms·n_postings)-th largest weight (ties at the
+    # cut all kept — see postings.global_threshold_cut), then cap per list.
+    cut = float("-inf")
+    cap = cfg.n_postings
+    if cfg.pruning == "global":
+        all_w = np.sort(
+            np.asarray([w for lst in entries.values() for w, _ in lst])
+        )[::-1]
+        budget = len(terms) * cfg.n_postings
+        if all_w.size > budget:
+            cut = float(all_w[budget - 1])
+        cap = int(cfg.n_postings * cfg.max_fraction)
+
     for tid, lst in entries.items():
-        # I1 pruning order: weight desc, doc_id asc
+        # pruning order: weight desc, doc_id asc
+        if cfg.pruning == "global":
+            lst = [e for e in lst if e[0] >= cut]
         lst.sort(key=lambda x: (-x[0], x[1]))
-        lst = lst[: cfg.n_postings]
-        ranks = np.arange(len(lst))
-        blocks = block_of_rank_np(ranks, cfg)
+        lst = lst[:cap]
+        if not lst:
+            continue
+        if cfg.blocking == "kmeans":
+            dt = [idx.fwd_terms[pos_of[d]] for _, d in lst]
+            dw = [idx.fwd_weights[pos_of[d]] for _, d in lst]
+            blocks = kmeans_blocks(dt, dw, cfg, tid)
+        else:
+            blocks = block_of_rank_np(np.arange(len(lst)), cfg)
         p: dict = {"blocks": []}
         for b in np.unique(blocks):
             sel = [lst[i] for i in np.flatnonzero(blocks == b)]

@@ -64,14 +64,22 @@ class IndexConfig:
     n_postings: int = 3500
     max_fraction: float = 1.5
     pruning: str = "fixed"  # "fixed" (I1) | "global" (I2) | "none"
-    blocking: str = "geometric"  # "fixed" (B1) | "geometric"
+    blocking: str = "geometric"  # "fixed" (B1) | "geometric" | "kmeans" (B2/B5)
     block_size: int = 64  # fixed blocking
     block_b0: int = 8  # geometric: first block size
     block_cap: int = 128  # geometric: max block size
+    # kmeans blocking (reference defaults, configurations.rs:113-117)
+    centroid_fraction: float = 0.1
+    min_cluster_size: int = 2
+    kmeans_doc_cut: int = 15
+    kmeans_seed: int = 1142  # reference's approx-kmeans seed (utils.rs:163)
     summary_energy: float = 1.0  # 1.0 = exact upper-bound summaries
     quant_ceil: bool = True  # round-up codes → dequant ≥ true max
     blocks_per_row: int = 4096  # salt rows so one list row stays bounded
     salt_buckets: int = 8  # two-level top-k pre-aggregation fan-out
+    value_type: str = "f64"  # "f64" | "f16" (reference default is f16
+    # storage + f32 compute, pylib/mod.rs:27-39; we round-trip weights
+    # through f16 before indexing/scoring when selected)
 
 
 # ------------------------------------------------------------- pruning ------
@@ -111,21 +119,23 @@ def global_threshold_cut(dtw: DataFrame, budget: int) -> float:
     if total <= budget:
         return float("-inf")
     q = 1.0 - budget / total
-    lo_q, hi_q = max(0.0, q - 0.01), min(1.0, q + 0.01)
-    lo, hi = dtw.stat.approxQuantile("weight", [lo_q, hi_q], 0.0001)
-    n_above = dtw.filter(F.col("weight") > hi).count()
-    if n_above >= budget:
-        # boundary above hi — rare; fall back to exact sort of the tail above hi
-        tail = dtw.filter(F.col("weight") > hi)
-    else:
-        tail = dtw.filter((F.col("weight") > lo) & (F.col("weight") <= hi))
-        budget = budget - n_above
-    boundary = (
-        tail.select("weight").orderBy(F.col("weight").desc()).limit(budget).collect()
-    )
-    if not boundary:
-        return float("-inf")
-    return float(boundary[-1][0])
+    for width in (0.01, 0.05, 1.0):  # widen the bracket if approx missed
+        lo_q, hi_q = max(0.0, q - width), min(1.0, q + width)
+        lo, hi = dtw.stat.approxQuantile("weight", [lo_q, hi_q], 0.0001)
+        n_above = dtw.filter(F.col("weight") > hi).count()
+        if n_above >= budget:
+            # boundary above hi — exact-sort only the slice above hi
+            tail = dtw.filter(F.col("weight") > hi)
+            need = budget
+        else:
+            tail = dtw.filter((F.col("weight") > lo) & (F.col("weight") <= hi))
+            need = budget - n_above
+        boundary = (
+            tail.select("weight").orderBy(F.col("weight").desc()).limit(need).collect()
+        )
+        if len(boundary) >= need:
+            return float(boundary[-1][0])
+    return float("-inf")
 
 
 def global_threshold_pruning(
@@ -163,7 +173,13 @@ def geometric_boundaries(b0: int, cap: int) -> list[int]:
 
 
 def block_of_rank_col(rank: Column, cfg: IndexConfig) -> Column:
-    """Block index for a 0-based rank — pure integer CASE, no float log."""
+    """Block index for a 0-based rank — pure integer CASE, no float log.
+
+    For kmeans blocking the block is a function of doc VECTORS, not rank —
+    it's assigned inside the posting builder; rows carry block 0 here (lists
+    are bounded by pruning, so row salting by block is not needed)."""
+    if cfg.blocking == "kmeans":
+        return F.lit(0).cast("int")
     if cfg.blocking == "fixed":
         return (rank / cfg.block_size).cast("int")
     bounds = geometric_boundaries(cfg.block_b0, cfg.block_cap)
@@ -188,6 +204,79 @@ def block_of_rank_np(rank: np.ndarray, cfg: IndexConfig) -> np.ndarray:
     tail = r >= bounds[-1]
     out[tail] = n_geo + (r[tail] - bounds[-1]) // cfg.block_cap
     return out.astype(np.int32)
+
+
+# ----------------------------------------------------- kmeans blocking ------
+
+
+def kmeans_blocks(
+    d_terms: list[np.ndarray],
+    d_weights: list[np.ndarray],
+    cfg: IndexConfig,
+    term_id: int,
+) -> np.ndarray:
+    """RandomKmeans blocking (B2/B5, posting_list.rs:227-300 +
+    utils.rs:153-237): pick ⌈centroid_fraction·n⌉ member docs as centroids,
+    assign each doc to its argmax-dot centroid scoring only the doc's
+    top-``kmeans_doc_cut`` components (the reference's approx variant,
+    doc_cut=15), dissolve clusters ≤ min_cluster_size and reassign to
+    survivors.  Returns a block id per entry (entry order preserved within a
+    block downstream).
+
+    Determinism deviation from the reference (documented, SURVEY.md §7.3):
+    the reference draws centroids from one global RNG stream (seed 1142);
+    a distributed engine needs per-list determinism under task retries, so
+    the stream is keyed by (kmeans_seed, term_id) via Philox counters.
+    """
+    n = len(d_terms)
+    k = max(1, int(cfg.centroid_fraction * n))
+    if n <= 1 or k >= n:
+        return np.zeros(n, dtype=np.int32)
+    rng = np.random.Generator(
+        np.random.Philox(key=[cfg.kmeans_seed, term_id & 0x7FFFFFFF])
+    )
+    centroid_idx = rng.choice(n, size=k, replace=False)
+    centroid_idx.sort()
+
+    # centroid matrix over the union of centroid terms only
+    c_terms = np.unique(np.concatenate([d_terms[i] for i in centroid_idx]))
+    C = np.zeros((c_terms.size, k), dtype=np.float32)
+    for j, i in enumerate(centroid_idx):
+        rows = np.searchsorted(c_terms, d_terms[i])
+        C[rows, j] = d_weights[i]
+
+    def assign(mask: np.ndarray | None) -> np.ndarray:
+        """argmax-dot assignment (optionally restricted to surviving cols)."""
+        Cm = C if mask is None else C[:, mask]
+        scores = np.zeros((n, Cm.shape[1]), dtype=np.float32)
+        for i in range(n):
+            t, w = d_terms[i], d_weights[i]
+            if t.size > cfg.kmeans_doc_cut:
+                top = np.argpartition(-np.asarray(w), cfg.kmeans_doc_cut)[
+                    : cfg.kmeans_doc_cut
+                ]
+                t, w = t[np.sort(top)], w[np.sort(top)]
+            rows = np.searchsorted(c_terms, t)
+            rows_c = np.minimum(rows, c_terms.size - 1)
+            hit = c_terms[rows_c] == t
+            if hit.any():
+                scores[i] = (np.asarray(w, dtype=np.float32)[hit, None] * Cm[rows_c[hit]]).sum(axis=0)
+        return np.argmax(scores, axis=1).astype(np.int32)
+
+    a = assign(None)
+    # dissolve small clusters, reassign members among survivors
+    counts = np.bincount(a, minlength=k)
+    surviving = counts > cfg.min_cluster_size
+    if surviving.any() and not surviving.all():
+        surv_ids = np.flatnonzero(surviving)
+        a_surv = assign(surviving)
+        dissolved = ~surviving[a]
+        a[dissolved] = surv_ids[a_surv[dissolved]]
+        # renumber to dense block ids in surviving-centroid order
+        remap = -np.ones(k, dtype=np.int32)
+        remap[surv_ids] = np.arange(surv_ids.size, dtype=np.int32)
+        a = remap[a]
+    return a.astype(np.int32)
 
 
 # ------------------------------------------------- posting-row builder ------
@@ -246,11 +335,21 @@ def _build_one_list(pdf: pd.DataFrame, cfg: IndexConfig, id_col: str) -> dict:
     term_id = int(pdf["term_id"].iloc[0])
     salt = int(pdf["salt"].iloc[0])
     blocks_arr = pdf["block"].to_numpy()
-    uniq_blocks, block_starts = np.unique(blocks_arr, return_index=True)
     doc_ids = pdf[id_col].to_numpy(dtype=np.int64)
     weights = pdf["weight"].to_numpy(dtype=np.float64)
     d_terms = pdf["terms"].to_numpy()
     d_weights = pdf["weights"].to_numpy()
+
+    if cfg.blocking == "kmeans":
+        dt = [np.asarray(a, dtype=np.int64) for a in d_terms]
+        dw = [np.asarray(a, dtype=np.float64) for a in d_weights]
+        blocks_arr = kmeans_blocks(dt, dw, cfg, term_id)
+        order = np.argsort(blocks_arr, kind="stable")  # cluster reorder
+        blocks_arr = blocks_arr[order]
+        doc_ids, weights = doc_ids[order], weights[order]
+        d_terms, d_weights = d_terms[order], d_weights[order]
+
+    uniq_blocks, block_starts = np.unique(blocks_arr, return_index=True)
 
     blk, lens, gaps, wbins, bmaxs = [], [], [], [], []
     s_terms, s_codes, s_min, s_quant = [], [], [], []

@@ -110,6 +110,23 @@ def bm25_weights(
     )
 
 
+def f16_round_trip_col(weights_df: DataFrame, col: str = "weight") -> DataFrame:
+    """Round-trip a weight column through float16 (P5 analogue — the
+    reference's default f16 value storage, computed in f32)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def rt(w: pd.Series) -> pd.Series:
+        return pd.Series(
+            w.to_numpy(dtype=np.float64)
+            .astype(np.float16)
+            .astype(np.float64)
+        )
+
+    return weights_df.withColumn(col, rt(F.col(col)))
+
+
 def corpus_stats(docs: DataFrame) -> tuple[int, float]:
     """(N, avgdl) in one aggregation job."""
     row = docs.agg(

@@ -44,6 +44,25 @@ def corpus(spark):
         (IndexConfig(n_postings=20, summary_energy=0.5, blocking="geometric"), 0.8, 5),
         (IndexConfig(n_postings=50, summary_energy=0.8, blocking="fixed", block_size=8), 0.9, 10),
         (IndexConfig(n_postings=10**6, summary_energy=1.0), 1.0, 50),
+        (
+            IndexConfig(
+                n_postings=40, summary_energy=0.6, blocking="kmeans",
+                centroid_fraction=0.2, min_cluster_size=2,
+            ),
+            0.8,
+            8,
+        ),
+        (
+            IndexConfig(n_postings=15, pruning="global", max_fraction=1.5,
+                        summary_energy=0.7),
+            0.9,
+            10,
+        ),
+        (
+            IndexConfig(n_postings=60, summary_energy=0.6, value_type="f16"),
+            0.8,
+            10,
+        ),
     ],
 )
 def test_rank_identity_vs_numpy_oracle(spark, corpus, cfg, hf, qc):
