@@ -269,7 +269,9 @@ def batch_search(
         .groupBy("query_id")
         .agg(F.max("lb").alias("theta"))
     )
-    survivors = ubs.join(theta, "query_id", "left").filter(
+    # θ is one row per query — always broadcast (stats are unknown to AQE
+    # because it hangs off a Python UDF output)
+    survivors = ubs.join(F.broadcast(theta), "query_id", "left").filter(
         F.col("theta").isNull() | (F.col("ub") >= F.lit(heap_factor) * F.col("theta"))
     )
     cands = _decode_docs(survivors)
