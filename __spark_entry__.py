@@ -34,6 +34,7 @@ SEARCH_QUERIES: list[tuple[str, list[str], list[float]]] = [
     ("q5", ["scan", "order", "key", "hash", "batch"], [1.0] * 5),
 ]
 K = 10
+KNN_K = 5  # neighbors per doc in the knn_graph contract entry
 
 # SQL fragments shared by oracles
 TOK = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -96,6 +97,51 @@ r AS (SELECT query_id,
              doc_id, score
       FROM s WHERE score > 0)
 SELECT query_id, rank, doc_id, score FROM r WHERE rank <= {K}
+"""
+
+
+def _ann_lsh_sql(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
+    """DuckDB twin of operators/ann.lsh_bucketed_topk: md5-derived
+    hyperplanes, 6dp-rounded sign dots, fold-dot cosine re-score."""
+    from seismic_spark.operators.ann import planes_sql
+
+    dot_fold = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(q.embedding) + 1), "
+        "i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (a, b) -> a + b)"
+    )
+    norm_fold = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({e}, "
+        "x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b))"
+    )
+    return f"""
+WITH planes AS ({planes_sql(dim, n_planes)}),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+qf AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              unnest(range(len(embedding)))::INT AS pos FROM q),
+cf AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              unnest(range(len(embedding)))::INT AS pos FROM c),
+qd AS (SELECT vec_id, bit, round(sum(v * pv), 6) AS dot
+       FROM qf JOIN planes USING (pos) GROUP BY vec_id, bit),
+cd AS (SELECT vec_id, bit, round(sum(v * pv), 6) AS dot
+       FROM cf JOIN planes USING (pos) GROUP BY vec_id, bit),
+qb AS (SELECT vec_id AS query_id,
+              sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+       FROM qd GROUP BY vec_id),
+cb AS (SELECT vec_id,
+              sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+       FROM cd GROUP BY vec_id),
+cand AS (SELECT query_id, cb.vec_id FROM qb JOIN cb USING (bucket)),
+p AS (SELECT cand.query_id, cand.vec_id,
+             round({dot_fold} / ({norm_fold.format(e='q.embedding')}
+                                 * {norm_fold.format(e='c.embedding')}), 4) AS cosine
+      FROM cand JOIN q ON q.vec_id = cand.query_id
+                JOIN c ON c.vec_id = cand.vec_id),
+r AS (SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+             vec_id, cosine FROM p)
+SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= {k}
 """
 
 
@@ -283,6 +329,31 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_topk(q, c, k=5, n_planes=6, dim=64)
 
 
+def _q_knn_graph(spark, sf_dir):
+    """Q8 as ONE distributed job: forward-as-queries self-search (no driver
+    collect) — exact config (unpruned, hf=1.0) so the DuckDB brute-force
+    twin applies; approximate configs are covered by test_knn."""
+    from seismic_spark import search as srch
+
+    idx = _build_index(spark, sf_dir)
+    queries_df = idx.forward.select(
+        F.col("doc_id").cast("string").alias("query_id"),
+        F.col("terms").alias("q_terms"),
+        F.col("weights").alias("q_weights"),
+    ).filter(F.size("q_terms") > 0)
+    res = srch.batch_search(
+        spark, idx.postings, idx.forward, queries_df,
+        k=KNN_K + 21, query_cut=100, heap_factor=1.0, broadcast_queries=False,
+    ).filter(F.col("doc_id") != F.col("query_id").cast("bigint"))
+    ranked = _rerank_rounded(res, KNN_K)
+    return ranked.select(
+        F.col("query_id").cast("bigint").alias("doc_id"),
+        "rank",
+        F.col("doc_id").alias("neighbor_id"),
+        "score",
+    )
+
+
 def _q_multimodal(spark, sf_dir):
     from seismic_spark.operators.multimodal import decode_binary_column
 
@@ -329,7 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_cosine_topk": _q_ann_cosine,
-        "ann_lsh_topk": _q_ann_lsh,  # no SQL oracle: approximate LSH path
+        "ann_lsh_topk": _q_ann_lsh,
+        "knn_graph": _q_knn_graph,
         "multimodal_decode": _q_multimodal,
         "events_hourly": _q_events_hourly,
     }
@@ -465,6 +537,29 @@ SELECT doc_id,
 FROM s GROUP BY doc_id
 """,
         "ngram_jaccard": jaccard_sql,
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "knn_graph": f"""
+WITH docs AS (SELECT doc_id, {TOK} AS toks FROM documents),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM docs),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM docs),
+tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok GROUP BY ALL),
+dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+w AS (SELECT tfc.doc_id, tfc.term,
+             ln(1 + (stats.n - dfc.df + 0.5) / (dfc.df + 0.5))
+             * tfc.tf * 2.2
+             / (tfc.tf + 1.2 * (0.25 + 0.75 * tfc.dl / stats.avgdl)) AS wgt
+      FROM tfc JOIN dfc USING (term), stats),
+p AS (SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
+             round(sum(a.wgt * b.wgt), 4) AS score
+      FROM w a JOIN w b USING (term)
+      WHERE a.doc_id <> b.doc_id GROUP BY ALL),
+r AS (SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank,
+             neighbor_id, score
+      FROM p)
+SELECT doc_id, rank, neighbor_id, score FROM r WHERE rank <= {KNN_K}
+""",
         "ann_cosine_topk": f"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),

@@ -131,8 +131,17 @@ class CheckpointedBuild:
         cluster reading object storage."""
         cfg = cfg or IndexConfig()
         t_start = time.time()
-        n_docs = docs.count()
-        base_fp = _fingerprint(cfg, {"n_docs": n_docs})
+        # one scan: row count + an order-insensitive content signature, so
+        # resuming against a MODIFIED corpus with the same row count can't
+        # silently reuse stale snapshots (fingerprint = f(config, data)).
+        sig_row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("sig"),
+        ).collect()[0]
+        n_docs = int(sig_row["n"])
+        base_fp = _fingerprint(
+            cfg, {"n_docs": n_docs, "content_sig": int(sig_row["sig"] or 0)}
+        )
 
         tokens = self._run_stage(
             "tokens",
@@ -148,13 +157,17 @@ class CheckpointedBuild:
         )
         n_terms = vocab.count()
 
-        dtw = self._run_stage(
-            "weights",
-            base_fp,
-            lambda: textprep.bm25_weights(
+        def _weights() -> DataFrame:
+            dtw = textprep.bm25_weights(
                 textprep.term_frequencies(tokens, id_col), vocab, n_docs, avgdl, id_col
-            ),
-        )
+            )
+            if cfg.value_type == "f16":
+                # same f16 storage round-trip as the direct build path
+                # (index.py) — a checkpointed build must not diverge from it
+                dtw = textprep.f16_round_trip_col(dtw)
+            return dtw
+
+        dtw = self._run_stage("weights", base_fp, _weights)
         forward = self._run_stage(
             "forward", base_fp, lambda: fwd.build_forward(dtw, id_col)
         )

@@ -22,38 +22,52 @@ import numpy as np
 # ---------------------------------------------------------------- varint ----
 
 
+# 7-bit group thresholds: value v needs 1 + sum(v >= 2^(7k)) bytes
+_VARINT_THRESHOLDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a 1-D array of non-negative ints to bytes."""
+    """LEB128-encode a 1-D array of non-negative ints to bytes.
+
+    Fully vectorized (this sits on the build hot path): byte counts via
+    threshold comparisons (exact — no float log), byte values via per-byte
+    shift/mask over scattered positions.
+    """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    out = bytearray()
-    for x in v.tolist():
-        while True:
-            b = x & 0x7F
-            x >>= 7
-            if x:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    # bytes per value: 1 + number of 7-bit thresholds <= v  (1..10)
+    nb = np.ones(v.size, dtype=np.int64)
+    for t in _VARINT_THRESHOLDS:
+        nb += (v >= t).astype(np.int64)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    total = int(ends[-1])
+    # for output byte j of value i: out[starts[i]+j] = (v[i] >> 7j) & 0x7f
+    val_idx = np.repeat(np.arange(v.size), nb)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, nb)
+    chunks = (v[val_idx] >> (7 * pos).astype(np.uint64)) & np.uint64(0x7F)
+    out = chunks.astype(np.uint8)
+    cont = pos < (nb[val_idx] - 1)  # continuation bit on all but last byte
+    out[cont] |= 0x80
+    return out.tobytes()
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
-    """Decode LEB128 bytes back to a uint64 array."""
-    out: list[int] = []
-    shift = 0
-    cur = 0
-    for b in buf:
-        cur |= (b & 0x7F) << shift
-        if b & 0x80:
-            shift += 7
-        else:
-            out.append(cur)
-            cur = 0
-            shift = 0
-    return np.asarray(out, dtype=np.uint64)
+    """Decode LEB128 bytes back to a uint64 array (vectorized — this sits on
+    the query hot path: every posting-block decode goes through here)."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (arr & 0x80) == 0
+    ends = np.flatnonzero(is_last) + 1
+    starts = np.concatenate(([0], ends[:-1]))
+    lens = ends - starts
+    pos = np.arange(arr.size, dtype=np.int64) - np.repeat(starts, lens)
+    chunks = (arr & np.uint8(0x7F)).astype(np.uint64) << (7 * pos).astype(np.uint64)
+    # per-value sum of shifted chunks; bitwise-disjoint so addition is exact
+    out = np.add.reduceat(chunks, starts)
+    return out.astype(np.uint64)
 
 
 def delta_encode(sorted_ids: np.ndarray) -> bytes:
@@ -75,7 +89,45 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
+# ---------------------------------------------------------- segment sums ----
+
+
+def segment_sums(x: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-segment sums of a flattened array, empty segments → 0.0.
+
+    np.add.reduceat segment sums are position-independent pure functions of
+    the segment content (verified property), so the ENGINE (flattened batch,
+    many segments) and the ORACLE (one segment at a time) produce bitwise
+    identical floats — required for knife-edge skip decisions (ub vs hf·θ)
+    to agree between the distributed engine and the numpy oracle.
+    """
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    out = np.zeros(starts.size, dtype=np.float64)
+    nonempty = lens > 0
+    if nonempty.any():
+        out[nonempty] = np.add.reduceat(
+            np.asarray(x, dtype=np.float64), starts[nonempty]
+        )
+    return out
+
+
 # ------------------------------------------------------------------- f16 ----
+
+
+def f32_floor(value: float) -> np.float32:
+    """float64 → float32 rounded TOWARD -inf when the nearest-cast rounds up.
+
+    Used for block_max storage: θ is derived as qw·block_max and must never
+    exceed the witness doc's true (float64) contribution, or an exact
+    boundary block could be wrongly skipped at heap_factor=1.0.  (The u8
+    summary codes guard the opposite direction with ceil.)
+    """
+    v64 = float(value)
+    v32 = np.float32(v64)
+    if float(v32) > v64:
+        v32 = np.nextafter(v32, np.float32(-np.inf))
+    return v32
 
 
 def f16_round_trip(values: np.ndarray) -> np.ndarray:

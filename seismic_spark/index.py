@@ -93,9 +93,11 @@ class SeismicSparkIndex:
         k: int = 10,
         query_cut: int = 10,
         heap_factor: float = 1.0,
+        two_phase: bool = False,
     ) -> DataFrame:
         """(query_id, rank, doc_id, score) for a batch of term-weighted
-        queries; unknown terms silently dropped (P3)."""
+        queries; unknown terms silently dropped (P3).  ``two_phase`` enables
+        the first_sorted-style θ tightening (search.py)."""
         qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
         return srch.batch_search(
             self.spark,
@@ -105,6 +107,7 @@ class SeismicSparkIndex:
             k=k,
             query_cut=query_cut,
             heap_factor=heap_factor,
+            two_phase=two_phase,
         )
 
     def search(
@@ -115,8 +118,11 @@ class SeismicSparkIndex:
         k: int = 10,
         query_cut: int = 10,
         heap_factor: float = 1.0,
+        two_phase: bool = False,
     ) -> DataFrame:
-        return self.batch_search([(query_id, terms, weights)], k, query_cut, heap_factor)
+        return self.batch_search(
+            [(query_id, terms, weights)], k, query_cut, heap_factor, two_phase
+        )
 
     def search_text(
         self, query_id: str, text: str, k: int = 10, query_cut: int = 10,

@@ -4,13 +4,14 @@ Reference: ``Knn::new`` self-queries the index for every doc (k=nknn+1,
 query_cut=10, heap_factor=0.7, drop self — inverted_index.rs:448-500) and
 ``Knn::refine`` re-scores each result's stored neighbors (551-593).
 
-Spark shape: construction is a batch self-search — every doc's sparse vector
-becomes a query.  Queries are processed in bounded driver batches (each batch
-is one distributed job over broadcast query vectors); at cluster scale the
-batch size bounds driver memory while executors stream the heavy work.  The
-graph persists as a ``knn(doc_id BIGINT, neighbors ARRAY<BIGINT>)`` table
-(S8); loading may truncate neighbor lists (`nknn` param) like
-``new_from_serialized`` (inverted_index.rs:502-540).
+Spark shape: construction is ONE batch self-search job — the forward index
+itself becomes the queries DataFrame (search.py takes queries as a DataFrame,
+so query vectors travel as Arrow array columns through the plan; nothing is
+ever collected to the driver).  This is the per-doc rayon loop of
+inverted_index.rs:448-500 re-expressed as a join.  The graph persists as a
+``knn(doc_id BIGINT, neighbors ARRAY<BIGINT>)`` table (S8); loading may
+truncate neighbor lists (`nknn` param) like ``new_from_serialized``
+(inverted_index.rs:502-540).
 """
 
 from __future__ import annotations
@@ -23,55 +24,46 @@ from pyspark.sql import functions as F
 from seismic_spark import search as srch
 
 
-def build_knn(index, nknn: int = 10, batch_size: int = 2000,
-              query_cut: int = 10, heap_factor: float = 0.7) -> DataFrame:
+def build_knn(index, nknn: int = 10, batch_size: int | None = None,
+              query_cut: int = 10, heap_factor: float = 0.7,
+              two_phase: bool = False) -> DataFrame:
     """(doc_id, neighbors ARRAY<BIGINT>) — top-nknn neighbors per doc.
 
     Reference parity: self-queries with the doc's own vector, drops the doc
     itself, keeps nknn (inverted_index.rs:448-500; defaults 468-472).
+
+    One distributed job: forward-as-queries ⋈ postings on term_id → block
+    pruning → exact re-score ⋈ forward — no ``collect()``, no per-batch job
+    loop, so it runs at corpus scale.  ``batch_size`` is accepted for
+    backward compatibility and ignored (the old driver-batched path is gone).
     """
     spark = index.spark
-    rows = index.forward.select("doc_id", "terms", "weights").collect()
-    out_parts = []
-    for i in range(0, len(rows), batch_size):
-        chunk = rows[i : i + batch_size]
-        qvecs = {}
-        import numpy as np
-
-        for r in chunk:
-            t = np.asarray(r["terms"], dtype=np.int64)
-            w = np.asarray(r["weights"], dtype=np.float64)
-            if t.size:
-                qvecs[str(r["doc_id"])] = (t, w)
-        if not qvecs:
-            continue
-        res = srch.batch_search(
-            spark, index.postings, index.forward, qvecs,
-            k=nknn + 1, query_cut=query_cut, heap_factor=heap_factor,
+    queries_df = index.forward.select(
+        F.col("doc_id").cast("string").alias("query_id"),
+        F.col("terms").alias("q_terms"),
+        F.col("weights").alias("q_weights"),
+    ).filter(F.size("q_terms") > 0)
+    res = srch.batch_search(
+        spark, index.postings, index.forward, queries_df,
+        k=nknn + 1, query_cut=query_cut, heap_factor=heap_factor,
+        two_phase=two_phase, broadcast_queries=False,
+    )
+    return (
+        res.filter(F.col("doc_id") != F.col("query_id").cast("bigint"))
+        .withColumn("_q", F.col("query_id").cast("bigint"))
+        .groupBy("_q")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "doc_id"))),
+                    lambda s: s["doc_id"],
+                ),
+                1,
+                nknn,
+            ).alias("neighbors")
         )
-        neigh = (
-            res.filter(F.col("doc_id") != F.col("query_id").cast("bigint"))
-            .withColumn("_q", F.col("query_id").cast("bigint"))
-            .groupBy("_q")
-            .agg(
-                F.slice(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("rank", "doc_id"))),
-                        lambda s: s["doc_id"],
-                    ),
-                    1,
-                    nknn,
-                ).alias("neighbors")
-            )
-            .select(F.col("_q").alias("doc_id"), "neighbors")
-        )
-        out_parts.append(neigh)
-    if not out_parts:
-        return spark.createDataFrame([], "doc_id BIGINT, neighbors ARRAY<BIGINT>")
-    knn = out_parts[0]
-    for p in out_parts[1:]:
-        knn = knn.unionByName(p)
-    return knn
+        .select(F.col("_q").alias("doc_id"), "neighbors")
+    )
 
 
 def refine(results: DataFrame, knn: DataFrame, forward: DataFrame,

@@ -118,7 +118,7 @@ def build(docs: list[tuple[int, str]], cfg: IndexConfig | None = None) -> Oracle
         for b in np.unique(blocks):
             sel = [lst[i] for i in np.flatnonzero(blocks == b)]
             ids = np.asarray(sorted(d for _, d in sel), dtype=np.int64)
-            bmax = np.float32(max(w for w, _ in sel))
+            bmax = codec.f32_floor(max(w for w, _ in sel))
             # component-wise max over member docs' full vectors
             comp: dict[int, float] = {}
             for _, d in sel:
@@ -138,15 +138,32 @@ def build(docs: list[tuple[int, str]], cfg: IndexConfig | None = None) -> Oracle
     return idx
 
 
+def _masked_dot(qt: np.ndarray, qw: np.ndarray, ft: np.ndarray, fv: np.ndarray) -> float:
+    """Dot of a query (qt, qw) vs a sparse row (ft, fv) — bitwise identical
+    to the engine's flattened-batch computation (search.py): contributions
+    over ALL row elements (zeros at misses), summed via codec.segment_sums."""
+    if ft.size == 0:
+        return 0.0
+    ii = np.searchsorted(qt, ft)
+    ii_c = np.minimum(ii, max(qt.size - 1, 0))
+    m = (qt[ii_c] == ft) if qt.size else np.zeros(ft.size, dtype=bool)
+    contrib = np.where(m, (qw[ii_c] if qw.size else 0.0) * np.asarray(fv, dtype=np.float64), 0.0)
+    return float(
+        codec.segment_sums(contrib, np.array([0]), np.array([contrib.size]))[0]
+    )
+
+
 def search(
     idx: OracleIndex,
     queries: list[tuple[str, list[str], list[float]]],
     k: int = 10,
     query_cut: int = 10,
     heap_factor: float = 1.0,
+    two_phase: bool = False,
 ) -> list[tuple[str, int, int, float]]:
     """Returns [(query_id, rank, doc_id, score)] with the engine's exact
-    candidate-selection and tie-break semantics."""
+    candidate-selection, float, and tie-break semantics (incl. the optional
+    phase-1 θ tightening — search.py two_phase)."""
     pos_of = {int(d): i for i, d in enumerate(idx.doc_ids.tolist())}
     out: list[tuple[str, int, int, float]] = []
     for qid, terms, weights in queries:
@@ -158,45 +175,58 @@ def search(
         qt = np.asarray([p[0] for p in pairs], dtype=np.int64)
         qw = np.asarray([p[1] for p in pairs], dtype=np.float64)
         cut_order = np.argsort(-qw, kind="stable")[:query_cut]
-        cut_terms = qt[cut_order]
+        cut_ts = qt[cut_order]
 
-        # θ: max over matched terms of k-th largest qw_t · bmax_b
+        def score_doc(d: int) -> float:
+            i = pos_of[d]
+            return _masked_dot(qt, qw, idx.fwd_terms[i], idx.fwd_weights[i])
+
+        # per matched term: block ubs (engine-identical floats) + lbs
+        term_blocks: list[tuple[int, list[float], list]] = []
         theta = None
-        for t in cut_terms.tolist():
+        for t in cut_ts.tolist():
             p = idx.postings.get(t)
             if p is None:
                 continue
             qw_t = float(qw[np.searchsorted(qt, t)])
+            ubs = [
+                _masked_dot(
+                    qt,
+                    qw,
+                    b["s_terms"],
+                    codec.dequantize_u8(b["s_codes"], b["s_min"], b["s_quant"]),
+                )
+                for b in p["blocks"]
+            ]
+            term_blocks.append((t, ubs, p["blocks"]))
             lbs = sorted((qw_t * b["bmax"] for b in p["blocks"]), reverse=True)
             if len(lbs) >= k:
                 cand = lbs[k - 1]
                 theta = cand if theta is None else max(theta, cand)
 
+        if two_phase and term_blocks:
+            # phase 1: best-ub block per matched list (tie: lowest block
+            # index — matches the engine's (ub desc, salt asc, block asc)
+            # window since block ids ascend with salt), exact-score the
+            # union, k-th best tightens θ.
+            p1_docs: set[int] = set()
+            for _, ubs, blocks in term_blocks:
+                bi = int(np.argmax(np.asarray(ubs))) if ubs else None
+                if bi is not None:
+                    p1_docs.update(int(x) for x in blocks[bi]["ids"].tolist())
+            p1_scores = sorted((score_doc(d) for d in p1_docs), reverse=True)
+            if len(p1_scores) >= k:
+                theta2 = p1_scores[k - 1]
+                theta = theta2 if theta is None else max(theta, theta2)
+
         cands: set[int] = set()
-        for t in cut_terms.tolist():
-            p = idx.postings.get(t)
-            if p is None:
-                continue
-            for b in p["blocks"]:
-                vals = codec.dequantize_u8(b["s_codes"], b["s_min"], b["s_quant"])
-                st = b["s_terms"]
-                ii = np.searchsorted(qt, st)
-                ii_c = np.minimum(ii, qt.size - 1)
-                m = qt[ii_c] == st
-                ub = float(np.dot(qw[ii_c][m], vals.astype(np.float64)[m]))
+        for _, ubs, blocks in term_blocks:
+            for ub, b in zip(ubs, blocks):
                 if theta is not None and ub < heap_factor * theta:
                     continue
                 cands.update(int(x) for x in b["ids"].tolist())
 
-        scored: list[tuple[float, int]] = []
-        for d in cands:
-            i = pos_of[d]
-            ft, fw = idx.fwd_terms[i], idx.fwd_weights[i]
-            ii = np.searchsorted(qt, ft)
-            ii_c = np.minimum(ii, qt.size - 1)
-            m = qt[ii_c] == ft
-            s = float(np.dot(qw[ii_c][m], fw[m]))
-            scored.append((s, d))
+        scored = [(score_doc(d), d) for d in cands]
         scored.sort(key=lambda x: (-x[0], x[1]))
         for r, (s, d) in enumerate(scored[:k], start=1):
             out.append((qid, r, d, s))

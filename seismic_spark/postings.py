@@ -105,37 +105,73 @@ def topk_per_term(
     return dtw.withColumn("rank", F.row_number().over(w2) - 1).filter(F.col("rank") < n)
 
 
-def global_threshold_cut(dtw: DataFrame, budget: int) -> float:
-    """Exact weight of the `budget`-th largest entry, in 3 jobs at any scale.
+GLOBAL_CUT_SLICE_CAP = 200_000  # max rows ever collected to the driver
 
-    approxQuantile brackets the boundary; one exact count fixes which side;
-    only the boundary slice is sorted.  Semantics (ours, documented): keep
-    all entries with weight >= cut — ties at the cut are all kept (the
-    reference breaks ties by arrival order, inverted_index.rs:365-378; a
-    distributed engine has no arrival order, so we widen to the
-    deterministic closure).
+
+def global_threshold_cut(dtw: DataFrame, budget: int) -> float:
+    """Exact weight of the `budget`-th largest entry with a BOUNDED driver
+    collect (≤ GLOBAL_CUT_SLICE_CAP rows) at any scale and any tie
+    distribution.
+
+    Semantics (ours, documented): keep all entries with weight >= cut — ties
+    at the cut are all kept (the reference breaks ties by arrival order,
+    inverted_index.rs:365-378; a distributed engine has no arrival order, so
+    we widen to the deterministic closure).
+
+    Algorithm: value-range bisection on the weight.  Each round either
+    shrinks the bracket (lo, hi] that contains the boundary (adjusting the
+    residual rank `need`), or detects a massive tie (bracket can't shrink)
+    and returns the tied value directly — adversarial tie distributions
+    therefore never trigger an unbounded collect.  approxQuantile guides the
+    split point so typical data converges in 1–2 rounds.
     """
     total = dtw.count()
     if total <= budget:
         return float("-inf")
-    q = 1.0 - budget / total
-    for width in (0.01, 0.05, 1.0):  # widen the bracket if approx missed
-        lo_q, hi_q = max(0.0, q - width), min(1.0, q + width)
-        lo, hi = dtw.stat.approxQuantile("weight", [lo_q, hi_q], 0.0001)
-        n_above = dtw.filter(F.col("weight") > hi).count()
-        if n_above >= budget:
-            # boundary above hi — exact-sort only the slice above hi
-            tail = dtw.filter(F.col("weight") > hi)
-            need = budget
-        else:
-            tail = dtw.filter((F.col("weight") > lo) & (F.col("weight") <= hi))
-            need = budget - n_above
-        boundary = (
-            tail.select("weight").orderBy(F.col("weight").desc()).limit(need).collect()
+    lo, hi = float("-inf"), float("inf")
+    need = budget  # rank of the boundary within (lo, hi]
+    in_bracket = total
+    for _ in range(64):
+        if in_bracket <= min(GLOBAL_CUT_SLICE_CAP, max(need, 1) * 2):
+            break
+        bracket = dtw
+        if lo != float("-inf"):
+            bracket = bracket.filter(F.col("weight") > lo)
+        if hi != float("inf"):
+            bracket = bracket.filter(F.col("weight") <= hi)
+        # split guided by the target rank within the bracket
+        (mid,) = bracket.stat.approxQuantile(
+            "weight", [max(0.0, min(1.0, 1.0 - need / in_bracket))], 0.001
         )
-        if len(boundary) >= need:
-            return float(boundary[-1][0])
-    return float("-inf")
+        if not (lo < mid < hi):
+            # quantile landed on a bracket edge — try the arithmetic midpoint
+            mid = (lo + hi) / 2.0
+            if not (lo < mid < hi):
+                # interval exhausted → a tie block straddles the boundary;
+                # the closure semantics keep every tied entry.
+                return float(hi)
+        upper = bracket.filter(F.col("weight") > mid)
+        n_upper = upper.count()
+        if n_upper >= need:
+            lo, in_bracket = mid, n_upper
+        else:
+            hi, need, in_bracket = mid, need - n_upper, in_bracket - n_upper
+        if in_bracket <= 0:  # numeric corner: nothing left — hi is the cut
+            return float(hi)
+    bracket = dtw
+    if lo != float("-inf"):
+        bracket = bracket.filter(F.col("weight") > lo)
+    if hi != float("inf"):
+        bracket = bracket.filter(F.col("weight") <= hi)
+    boundary = (
+        bracket.select("weight")
+        .orderBy(F.col("weight").desc())
+        .limit(min(need, GLOBAL_CUT_SLICE_CAP))
+        .collect()
+    )
+    if len(boundary) >= need:
+        return float(boundary[need - 1][0])
+    return float(boundary[-1][0]) if boundary else float(hi)
 
 
 def global_threshold_pruning(
@@ -245,22 +281,49 @@ def kmeans_blocks(
         rows = np.searchsorted(c_terms, d_terms[i])
         C[rows, j] = d_weights[i]
 
+    # ---- flatten all docs once; select top-doc_cut components per doc ----
+    lens = np.fromiter((t.size for t in d_terms), dtype=np.int64, count=n)
+    t_all = np.concatenate(d_terms) if lens.sum() else np.empty(0, np.int64)
+    w_all = np.concatenate(d_weights) if lens.sum() else np.empty(0, np.float64)
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if lens.max(initial=0) > cfg.kmeans_doc_cut:
+        # per-doc rank by (weight desc, position asc); keep rank < doc_cut
+        pos = np.arange(t_all.size, dtype=np.int64)
+        order = np.lexsort((pos, -w_all, doc_rep))
+        sorted_starts = np.cumsum(lens) - lens
+        rank = pos - np.repeat(sorted_starts, lens)
+        sel = np.sort(order[rank < cfg.kmeans_doc_cut])
+        t_all, w_all, doc_rep = t_all[sel], w_all[sel], doc_rep[sel]
+    cnt = np.bincount(doc_rep, minlength=n)
+    starts = np.cumsum(cnt) - cnt
+    rows = np.searchsorted(c_terms, t_all)
+    rows_c = np.minimum(rows, max(c_terms.size - 1, 0))
+    hit = c_terms[rows_c] == t_all if c_terms.size else np.zeros(t_all.size, bool)
+    wh = np.where(hit, w_all, 0.0).astype(np.float32)
+
     def assign(mask: np.ndarray | None) -> np.ndarray:
-        """argmax-dot assignment (optionally restricted to surviving cols)."""
+        """argmax-dot assignment (optionally restricted to surviving cols):
+        scatter-free — per-doc segment sums of elementwise contributions
+        (utils.rs:106-144's accumulate, vectorized)."""
         Cm = C if mask is None else C[:, mask]
-        scores = np.zeros((n, Cm.shape[1]), dtype=np.float32)
-        for i in range(n):
-            t, w = d_terms[i], d_weights[i]
-            if t.size > cfg.kmeans_doc_cut:
-                top = np.argpartition(-np.asarray(w), cfg.kmeans_doc_cut)[
-                    : cfg.kmeans_doc_cut
-                ]
-                t, w = t[np.sort(top)], w[np.sort(top)]
-            rows = np.searchsorted(c_terms, t)
-            rows_c = np.minimum(rows, c_terms.size - 1)
-            hit = c_terms[rows_c] == t
-            if hit.any():
-                scores[i] = (np.asarray(w, dtype=np.float32)[hit, None] * Cm[rows_c[hit]]).sum(axis=0)
+        kc = Cm.shape[1]
+        scores = np.zeros((n, kc), dtype=np.float32)
+        # chunk doc ranges so the (elements × kc) contribution stays bounded
+        elems_per_chunk = max(1, 8_000_000 // max(kc, 1))
+        d0 = 0
+        while d0 < n:
+            d1 = d0
+            acc = 0
+            while d1 < n and (acc == 0 or acc + cnt[d1] <= elems_per_chunk):
+                acc += cnt[d1]
+                d1 += 1
+            s, e = starts[d0], starts[d1 - 1] + cnt[d1 - 1]
+            if e > s:
+                contrib = wh[s:e, None] * Cm[rows_c[s:e]]
+                local = np.arange(d0, d1)[cnt[d0:d1] > 0]
+                if local.size:
+                    scores[local] = np.add.reduceat(contrib, starts[local] - s, axis=0)
+            d0 = d1
         return np.argmax(scores, axis=1).astype(np.int32)
 
     a = assign(None)
@@ -363,7 +426,7 @@ def _build_one_list(pdf: pd.DataFrame, cfg: IndexConfig, id_col: str) -> dict:
         lens.append(int(e - s))
         gaps.append(codec.delta_encode(ids[order].astype(np.uint64)))
         wbins.append(codec.f16_encode(ws[order]))
-        bmaxs.append(np.float32(ws.max()))
+        bmaxs.append(codec.f32_floor(ws.max()))
         ut, mx = _component_max(list(d_terms[s:e]), list(d_weights[s:e]))
         ut32 = ut.astype(np.int32)
         mx32 = mx  # keep float64; quantize_u8 handles safe f32 conversion

@@ -7,30 +7,46 @@ k-th best score); exactly re-score survivors against full doc vectors.
 
 Distributed re-design (deterministic — SURVEY.md §7.3): the reference's θ
 evolves inside one thread; a naive port would need a driver round-trip to
-share it.  Instead θ is derived **inside the plan** from block-max lower
-bounds, so the whole batch is ONE Spark job:
+share it.  Instead θ is derived **inside the plan**, so the whole batch is
+ONE Spark job:
 
-  For a query term t with weight qw_t, every doc in a block b of t's posting
-  list scores at least qw_t × (its own stored weight); the block's best doc
-  scores ≥ qw_t × bmax_b.  Blocks of one list hold DISTINCT docs, so the
-  k-th largest qw_t·bmax over t's blocks is witnessed by k distinct docs →
-  it lower-bounds the final k-th best score.  θ_q = max over matched terms
-  of that per-term k-th largest (computed with a window over the same
-  matched-blocks frame — no action, no driver loop).
+  Phase-0 bound (always on): for a query term t with weight qw_t, every doc
+  in a block b of t's posting list scores at least qw_t × (its own stored
+  weight); the block's best doc scores ≥ qw_t × bmax_b.  Blocks of one list
+  hold DISTINCT docs, so the k-th largest qw_t·bmax over t's blocks is
+  witnessed by k distinct docs → it lower-bounds the final k-th best score.
+  θ_q = max over matched terms of that per-term k-th largest.
+
+  Phase-1 tightening (``two_phase=True`` — the first_sorted analogue,
+  posting_list.rs:149-185): exactly score the single best-ub block of every
+  matched list (a bounded candidate set), take the per-query k-th best exact
+  score θ', and use θ_q ← max(θ_q, θ').  Like the reference's evolving heap
+  after the first sorted list, this tightens θ before the main scan — still
+  one logical plan, no driver action.
 
   Blocks with ``summary_ub < heap_factor × θ_q`` are skipped; survivors are
   decoded, deduped across lists (the reference's `visited` set), exactly
   re-scored against full doc vectors, and top-k'ed per query.
 
 With upper-bound summaries (summary_energy=1.0, quant_ceil) and
-heap_factor=1.0 this is EXACT w.r.t. scanning the cut-term posting lists:
-any true top-k doc sits in a block whose ub ≥ its score ≥ θ_final ≥ θ_q.
+heap_factor=1.0 this is EXACT w.r.t. scanning the cut-term posting lists.
 
-Physical plan: queries are broadcast (a few KB); `postings ⋈ query_terms` is
-a broadcast hash join that touches only matching term rows (partition-pruned
-when the postings table is term-hash partitioned); candidate→forward is a
-shuffle join on doc_id (bucket-able at scale); top-k is window row_number —
-never a driver-side loop over docs.
+QUERIES ARE A DATAFRAME, not a driver-side dict: (query_id, q_terms, q_weights)
+rows travel through the plan as Arrow array columns, so the same code path
+serves 6 interactive queries (arrays broadcast) and 10^9 self-join queries
+for κ-NN graph construction (shuffle join on query_id) — no per-task pickled
+closures, no driver memory proportional to the query set.
+
+Physical plan: `postings ⋈ cut_terms` is a term_id join that touches only
+matching term rows (broadcast for small batches, shuffle on the postings
+partition key otherwise); candidate→forward is a shuffle join on doc_id
+(bucket-able at scale); top-k is window row_number — never a driver loop.
+
+Float parity with the numpy oracle (oracle.py): every upper bound and every
+exact score is a `codec.segment_sums` (np.add.reduceat) over identically
+ordered f64 contribution arrays, which is a position-independent pure
+function of the segment — engine and oracle floats are bitwise equal, so
+knife-edge skip decisions (ub vs hf·θ) can never diverge between them.
 """
 
 from __future__ import annotations
@@ -45,6 +61,10 @@ from pyspark.sql import functions as F
 from seismic_spark import codec
 
 QVec = tuple[np.ndarray, np.ndarray]  # (term_ids sorted asc int64, weights f64)
+
+QUERIES_SCHEMA = "query_id STRING, q_terms ARRAY<INT>, q_weights ARRAY<DOUBLE>"
+
+_KEY_SHIFT = np.int64(1) << np.int64(32)  # (row, term) → sortable combined key
 
 
 # ------------------------------------------------------ query resolution ----
@@ -82,68 +102,134 @@ def resolve_queries(
     return out
 
 
-def cut_terms_df(
-    spark: SparkSession, qvecs: dict[str, QVec], query_cut: int
-) -> DataFrame:
-    """Top-``query_cut`` terms per query by weight (inverted_index.rs:187-190)
-    as a small DataFrame for the broadcast join."""
-    rows = []
-    for qid, (t, w) in qvecs.items():
-        if t.size == 0:
-            continue
-        keep = np.argsort(-w, kind="stable")[:query_cut]
-        for i in keep:
-            rows.append((qid, int(t[i])))
-    return spark.createDataFrame(rows, "query_id STRING, term_id INT")
+def queries_df_from_qvecs(spark: SparkSession, qvecs: dict[str, QVec]) -> DataFrame:
+    """Driver-side resolved queries → the canonical queries DataFrame."""
+    rows = [
+        (qid, [int(x) for x in t], [float(x) for x in w])
+        for qid, (t, w) in qvecs.items()
+    ]
+    return spark.createDataFrame(rows, QUERIES_SCHEMA)
+
+
+def _as_queries_df(spark: SparkSession, queries) -> tuple[DataFrame, bool]:
+    """Accept a dict-of-qvecs (small, driver-side) or a queries DataFrame.
+
+    Returns (queries_df, is_small) — is_small drives broadcast decisions.
+    """
+    if isinstance(queries, DataFrame):
+        return queries, False
+    return queries_df_from_qvecs(spark, queries), True
+
+
+def cut_terms(queries_df: DataFrame, query_cut: int) -> DataFrame:
+    """Top-``query_cut`` terms per query by (weight desc, term_id asc) —
+    inverted_index.rs:187-190's k_largest_by, as a window over the exploded
+    query arrays.  Returns (query_id, term_id, qw)."""
+    ex = queries_df.select(
+        "query_id", F.explode(F.arrays_zip("q_terms", "q_weights")).alias("z")
+    ).select(
+        "query_id",
+        F.col("z.q_terms").alias("term_id"),
+        F.col("z.q_weights").alias("qw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qw").desc(), F.col("term_id").asc()
+    )
+    return (
+        ex.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= query_cut)
+        .drop("_r")
+    )
+
+
+# ------------------------------------------------- flattened batch utils ----
+
+
+def _concat(arrays: list[np.ndarray], dtype) -> np.ndarray:
+    return np.concatenate(arrays) if arrays else np.empty(0, dtype=dtype)
+
+
+def _query_keys(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten per-row query arrays → (qkey sorted asc, qw_all, qlens).
+
+    qkey = row_index·2^32 + term_id; rows ascend and q_terms are sorted
+    ascending within a row, so the concatenation is globally sorted — one
+    np.searchsorted serves every row of the batch at once.
+    """
+    qt_list = [np.asarray(a, dtype=np.int64) for a in pdf["q_terms"]]
+    qlens = np.fromiter((a.size for a in qt_list), dtype=np.int64, count=len(qt_list))
+    qt_all = _concat(qt_list, np.int64)
+    qw_all = _concat(
+        [np.asarray(a, dtype=np.float64) for a in pdf["q_weights"]], np.float64
+    )
+    row_rep = np.repeat(np.arange(len(pdf), dtype=np.int64), qlens)
+    return row_rep * _KEY_SHIFT + qt_all, qw_all, qlens
+
+
+def _gather_qw(
+    qkey: np.ndarray, qw_all: np.ndarray, row_of: np.ndarray, terms: np.ndarray
+) -> np.ndarray:
+    """Per-element query weight (0.0 when the term isn't in that row's query)."""
+    skey = row_of * _KEY_SHIFT + terms
+    idx = np.searchsorted(qkey, skey)
+    idx_c = np.minimum(idx, max(qkey.size - 1, 0))
+    hit = qkey[idx_c] == skey if qkey.size else np.zeros(skey.size, dtype=bool)
+    return np.where(hit, qw_all[idx_c] if qw_all.size else 0.0, 0.0)
 
 
 # -------------------------------------------------------------- scoring -----
 
 
 def exact_score(
-    cands: DataFrame, forward: DataFrame, qvecs: dict[str, QVec], id_col: str = "doc_id"
+    cands: DataFrame,
+    forward: DataFrame,
+    queries,
+    id_col: str = "doc_id",
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Exact dot product of full query vector vs full doc vectors.
 
-    cands(query_id, doc_id) ⋈ forward → vectorized CSR dot in a pandas UDF
-    (merge via np.searchsorted — Q5 analogue).  Returns
-    (query_id, doc_id, score DOUBLE).
+    cands(query_id, doc_id) ⋈ forward ⋈ queries → one vectorized CSR pass
+    per Arrow batch (combined-key searchsorted + per-doc segment sums — Q5
+    analogue).  Returns (query_id, doc_id, score DOUBLE).  Scores are
+    bitwise-reproducible across partitionings (segment_sums is a pure
+    function of the doc's own contribution array).
     """
-    joined = cands.join(forward, id_col).select("query_id", id_col, "terms", "weights")
+    qdf, small = _as_queries_df(cands.sparkSession, queries)
+    if broadcast_queries is None:
+        broadcast_queries = small
+    qj = F.broadcast(qdf) if broadcast_queries else qdf
+    joined = (
+        cands.join(forward, id_col)
+        .join(qj, "query_id")
+        .select("query_id", id_col, "terms", "weights", "q_terms", "q_weights")
+    )
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
-            outs = []
-            for qid, grp in pdf.groupby("query_id", sort=False):
-                qt, qw = qvecs[qid]
-                terms_list = [np.asarray(a, dtype=np.int64) for a in grp["terms"]]
-                w_list = [np.asarray(a, dtype=np.float64) for a in grp["weights"]]
-                lens = np.fromiter((a.size for a in terms_list), dtype=np.int64)
-                if lens.sum() == 0 or qt.size == 0:
-                    scores = np.zeros(len(grp))
-                else:
-                    ft = np.concatenate(terms_list)
-                    fw = np.concatenate(w_list)
-                    idx = np.searchsorted(qt, ft)
-                    idx_c = np.minimum(idx, qt.size - 1)
-                    m = qt[idx_c] == ft
-                    contrib = fw * qw[idx_c] * m
-                    cs = np.concatenate(([0.0], np.cumsum(contrib)))
-                    ends = np.cumsum(lens)
-                    starts = ends - lens
-                    scores = cs[ends] - cs[starts]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "doc_id": grp[id_col].to_numpy(),
-                            "score": scores,
-                        }
-                    )
-                )
-            yield pd.concat(outs, ignore_index=True)
+            qkey, qw_all, _ = _query_keys(pdf)
+            t_list = [np.asarray(a, dtype=np.int64) for a in pdf["terms"]]
+            lens = np.fromiter(
+                (a.size for a in t_list), dtype=np.int64, count=len(t_list)
+            )
+            t_all = _concat(t_list, np.int64)
+            w_all = _concat(
+                [np.asarray(a, dtype=np.float64) for a in pdf["weights"]], np.float64
+            )
+            row_rep = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            qw_elem = _gather_qw(qkey, qw_all, row_rep, t_all)
+            contrib = qw_elem * w_all
+            starts = np.cumsum(lens) - lens
+            scores = codec.segment_sums(contrib, starts, lens)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "score": scores,
+                }
+            )
 
     return joined.mapInPandas(
         score_batches, "query_id STRING, doc_id BIGINT, score DOUBLE"
@@ -153,7 +239,9 @@ def exact_score(
 def topk(scored: DataFrame, k: int) -> DataFrame:
     """Per-query top-k, ties broken by doc_id asc (pinned total order,
     SURVEY.md §7.3) — (query_id, rank, doc_id, score)."""
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -164,12 +252,15 @@ def topk(scored: DataFrame, k: int) -> DataFrame:
 # ------------------------------------------------------ block UB scan -------
 
 
-def _block_ubs(
-    postings_matched: DataFrame, qvecs: dict[str, QVec]
-) -> DataFrame:
-    """Per (query, posting-row, block): summary upper-bound dot (Q2) and the
-    block's encoded doc ids, via mapInPandas (Arrow-vectorized)."""
+def _block_ubs(postings_matched: DataFrame) -> DataFrame:
+    """Per (query, posting-row, block): summary upper-bound dot (Q2), the
+    block-max lower bound, and the block's encoded doc ids.
 
+    Fully vectorized per Arrow batch: all blocks of all rows are flattened
+    into concatenated summary-element arrays; one searchsorted resolves every
+    (element, query) weight; per-block UBs are segment sums.  No per-row or
+    per-block Python math.
+    """
     out_schema = (
         "query_id STRING, term_id INT, salt INT, block INT, ub DOUBLE, "
         "lb DOUBLE, gaps BINARY"
@@ -179,55 +270,101 @@ def _block_ubs(
         for pdf in it:
             if pdf.empty:
                 continue
-            rows: dict[str, list] = {
-                "query_id": [], "term_id": [], "salt": [], "block": [],
-                "ub": [], "lb": [], "gaps": [],
-            }
-            for r in pdf.itertuples(index=False):
-                qt, qw = qvecs[r.query_id]
-                # this list's query weight (for the block-max lower bound)
-                ti = np.searchsorted(qt, r.term_id)
-                qw_t = float(qw[ti]) if ti < qt.size and qt[ti] == r.term_id else 0.0
-                blocks = r.blocks
-                for i in range(len(blocks)):
-                    st = np.asarray(r.summary_terms[i], dtype=np.int64)
-                    codes = np.frombuffer(r.summary_codes[i], dtype=np.uint8)
-                    vals = codec.dequantize_u8(codes, r.summary_min[i], r.summary_quant[i])
-                    if st.size and qt.size:
-                        idx = np.searchsorted(qt, st)
-                        idx_c = np.minimum(idx, qt.size - 1)
-                        m = qt[idx_c] == st
-                        ub = float(np.dot(qw[idx_c][m], vals.astype(np.float64)[m]))
-                    else:
-                        ub = 0.0
-                    rows["query_id"].append(r.query_id)
-                    rows["term_id"].append(r.term_id)
-                    rows["salt"].append(r.salt)
-                    rows["block"].append(int(blocks[i]))
-                    rows["ub"].append(ub)
-                    rows["lb"].append(qw_t * float(r.block_max[i]))
-                    rows["gaps"].append(bytes(r.doc_gaps[i]))
-            yield pd.DataFrame(rows)
+            nrow = len(pdf)
+            qkey, qw_all, _ = _query_keys(pdf)
 
-    return postings_matched.mapInPandas(scan, out_schema)
+            # ---- block level -------------------------------------------
+            nb = np.fromiter(
+                (len(b) for b in pdf["blocks"]), dtype=np.int64, count=nrow
+            )
+            row_of_block = np.repeat(np.arange(nrow, dtype=np.int64), nb)
+            blocks_all = _concat(
+                [np.asarray(b, dtype=np.int32) for b in pdf["blocks"]], np.int32
+            )
+            bmax_all = _concat(
+                [np.asarray(b, dtype=np.float64) for b in pdf["block_max"]],
+                np.float64,
+            )
+            qw_row = pdf["qw"].to_numpy(dtype=np.float64)
+            lb = qw_row[row_of_block] * bmax_all
+
+            # ---- summary-element level ----------------------------------
+            st_list = [
+                np.asarray(b, dtype=np.int64)
+                for row in pdf["summary_terms"]
+                for b in row
+            ]
+            slen = np.fromiter(
+                (a.size for a in st_list), dtype=np.int64, count=len(st_list)
+            )
+            st_all = _concat(st_list, np.int64)
+            codes_all = _concat(
+                [
+                    np.frombuffer(b, dtype=np.uint8)
+                    for row in pdf["summary_codes"]
+                    for b in row
+                ],
+                np.uint8,
+            )
+            mins_all = _concat(
+                [np.asarray(b, dtype=np.float32) for b in pdf["summary_min"]],
+                np.float32,
+            )
+            quants_all = _concat(
+                [np.asarray(b, dtype=np.float32) for b in pdf["summary_quant"]],
+                np.float32,
+            )
+            # dequantize (identical f32 arithmetic to codec.dequantize_u8)
+            vals = (
+                np.repeat(mins_all, slen)
+                + codes_all.astype(np.float32) * np.repeat(quants_all, slen)
+            ).astype(np.float32)
+            row_of_elem = np.repeat(row_of_block, slen)
+            qw_elem = _gather_qw(qkey, qw_all, row_of_elem, st_all)
+            contrib = qw_elem * vals.astype(np.float64)
+            elem_starts = np.cumsum(slen) - slen
+            ub = codec.segment_sums(contrib, elem_starts, slen)
+
+            gaps = [bytes(b) for row in pdf["doc_gaps"] for b in row]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(), nb),
+                    "term_id": np.repeat(
+                        pdf["term_id"].to_numpy(dtype=np.int32), nb
+                    ),
+                    "salt": np.repeat(pdf["salt"].to_numpy(dtype=np.int32), nb),
+                    "block": blocks_all,
+                    "ub": ub,
+                    "lb": lb,
+                    "gaps": gaps,
+                }
+            )
+
+    cols = postings_matched.select(
+        "query_id", "term_id", "salt", "qw", "q_terms", "q_weights",
+        "blocks", "block_max", "doc_gaps",
+        "summary_terms", "summary_codes", "summary_min", "summary_quant",
+    )
+    return cols.mapInPandas(scan, out_schema)
 
 
 def _decode_docs(block_rows: DataFrame) -> DataFrame:
-    """(query_id, gaps) → distinct (query_id, doc_id) candidates."""
+    """(query_id, gaps) → distinct (query_id, doc_id) candidates (the
+    reference's cross-list `visited` dedup, posting_list.rs:206-214)."""
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
             qids, dids = [], []
-            for r in pdf.itertuples(index=False):
-                ids = codec.delta_decode(bytes(r.gaps)).astype(np.int64)
-                qids.extend([r.query_id] * ids.size)
+            for qid, buf in zip(pdf["query_id"], pdf["gaps"]):
+                ids = codec.delta_decode(bytes(buf)).astype(np.int64)
+                qids.append(np.repeat(np.array([qid], dtype=object), ids.size))
                 dids.append(ids)
             yield pd.DataFrame(
                 {
-                    "query_id": qids,
-                    "doc_id": np.concatenate(dids) if dids else np.empty(0, np.int64),
+                    "query_id": _concat(qids, object),
+                    "doc_id": _concat(dids, np.int64),
                 }
             )
 
@@ -245,20 +382,33 @@ def batch_search(
     spark: SparkSession,
     postings: DataFrame,
     forward: DataFrame,
-    qvecs: dict[str, QVec],
+    queries,
     k: int = 10,
     query_cut: int = 10,
     heap_factor: float = 1.0,
+    two_phase: bool = False,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Dynamically-pruned batch top-k (Q1/Q9 analogue), single logical plan.
 
-    Returns (query_id, rank, doc_id, score) for all queries; no driver-side
-    loops or mid-plan actions — the threshold θ is a window aggregate over
-    the same matched-blocks frame (see module docstring for the bound).
+    ``queries`` is a dict {query_id: (term_ids, weights)} (interactive path,
+    broadcast) or a DataFrame with QUERIES_SCHEMA (bulk path, e.g. every doc
+    as a query for κ-NN).  Returns (query_id, rank, doc_id, score); no
+    driver-side loops or mid-plan actions.
     """
-    qterms = cut_terms_df(spark, qvecs, query_cut)
-    matched = postings.join(F.broadcast(qterms), "term_id")
-    ubs = _block_ubs(matched, qvecs)
+    qdf, small = _as_queries_df(spark, queries)
+    if broadcast_queries is None:
+        broadcast_queries = small
+    qdf = qdf.filter(F.size("q_terms") > 0)
+    cterms = cut_terms(qdf, query_cut)
+    qj = F.broadcast(cterms) if broadcast_queries else cterms
+    matched = postings.join(qj, "term_id")
+    qvec_j = F.broadcast(qdf) if broadcast_queries else qdf
+    matched = matched.join(qvec_j, "query_id")
+    ubs = _block_ubs(matched)
+    if two_phase:
+        # persist: consumed by phase-1 candidates, θ window, and survivors
+        ubs = ubs.persist()
 
     # θ_q = max over terms of the k-th largest per-term block-max lower bound
     wt = Window.partitionBy("query_id", "term_id").orderBy(F.col("lb").desc())
@@ -269,28 +419,144 @@ def batch_search(
         .groupBy("query_id")
         .agg(F.max("lb").alias("theta"))
     )
+
+    if two_phase:
+        # phase 1 (first_sorted analogue): exact-score the best-ub block of
+        # every matched list; the k-th best exact score tightens θ.
+        wb = Window.partitionBy("query_id", "term_id").orderBy(
+            F.col("ub").desc(), F.col("salt").asc(), F.col("block").asc()
+        )
+        best = ubs.withColumn("_r", F.row_number().over(wb)).filter(F.col("_r") == 1)
+        p1 = exact_score(
+            _decode_docs(best), forward, qdf, broadcast_queries=broadcast_queries
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        theta2 = (
+            p1.withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") == k)
+            .groupBy("query_id")
+            .agg(F.max("score").alias("theta2"))
+        )
+        theta = (
+            theta.join(theta2, "query_id", "full")
+            .select(
+                "query_id",
+                F.greatest(
+                    F.coalesce("theta", F.lit(float("-inf"))),
+                    F.coalesce("theta2", F.lit(float("-inf"))),
+                ).alias("theta"),
+            )
+            .filter(F.col("theta") != float("-inf"))
+        )
+
     # θ is one row per query — always broadcast (stats are unknown to AQE
     # because it hangs off a Python UDF output)
     survivors = ubs.join(F.broadcast(theta), "query_id", "left").filter(
         F.col("theta").isNull() | (F.col("ub") >= F.lit(heap_factor) * F.col("theta"))
     )
     cands = _decode_docs(survivors)
-    scored = exact_score(cands, forward, qvecs)
+    scored = exact_score(cands, forward, qdf, broadcast_queries=broadcast_queries)
     return topk(scored, k)
+
+
+def search_stats(
+    spark: SparkSession,
+    postings: DataFrame,
+    forward: DataFrame,
+    queries,
+    k: int = 10,
+    query_cut: int = 10,
+    heap_factor: float = 1.0,
+    two_phase: bool = False,
+) -> dict[str, float]:
+    """Skip-rate instrumentation for a query batch: how many matched blocks
+    the dynamic pruning skipped, and how many candidate docs survived.
+
+    Mirrors batch_search's candidate selection exactly (same θ derivation);
+    used by the accuracy/efficiency harness — the analogue of the
+    reference's per-run reporting (scripts/run_experiments.py:287-309).
+    """
+    qdf, _ = _as_queries_df(spark, queries)
+    qdf = qdf.filter(F.size("q_terms") > 0)
+    cterms = cut_terms(qdf, query_cut)
+    matched = postings.join(F.broadcast(cterms), "term_id").join(
+        F.broadcast(qdf), "query_id"
+    )
+    ubs = _block_ubs(matched).persist()
+    wt = Window.partitionBy("query_id", "term_id").orderBy(F.col("lb").desc())
+    theta = (
+        ubs.select("query_id", "term_id", "lb")
+        .withColumn("_r", F.row_number().over(wt))
+        .filter(F.col("_r") == k)
+        .groupBy("query_id")
+        .agg(F.max("lb").alias("theta"))
+    )
+    if two_phase:
+        wb = Window.partitionBy("query_id", "term_id").orderBy(
+            F.col("ub").desc(), F.col("salt").asc(), F.col("block").asc()
+        )
+        best = ubs.withColumn("_r", F.row_number().over(wb)).filter(F.col("_r") == 1)
+        p1 = exact_score(_decode_docs(best), forward, qdf)
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        theta2 = (
+            p1.withColumn("_r", F.row_number().over(wq))
+            .filter(F.col("_r") == k)
+            .groupBy("query_id")
+            .agg(F.max("score").alias("theta2"))
+        )
+        theta = (
+            theta.join(theta2, "query_id", "full")
+            .select(
+                "query_id",
+                F.greatest(
+                    F.coalesce("theta", F.lit(float("-inf"))),
+                    F.coalesce("theta2", F.lit(float("-inf"))),
+                ).alias("theta"),
+            )
+            .filter(F.col("theta") != float("-inf"))
+        )
+    joined = ubs.join(F.broadcast(theta), "query_id", "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("blocks_matched"),
+        F.sum(
+            F.when(
+                F.col("theta").isNull()
+                | (F.col("ub") >= F.lit(heap_factor) * F.col("theta")),
+                1,
+            ).otherwise(0)
+        ).alias("blocks_scanned"),
+    ).collect()[0]
+    survivors = joined.filter(
+        F.col("theta").isNull() | (F.col("ub") >= F.lit(heap_factor) * F.col("theta"))
+    )
+    n_cands = _decode_docs(survivors).count()
+    ubs.unpersist()
+    matched_n = int(agg["blocks_matched"] or 0)
+    scanned = int(agg["blocks_scanned"] or 0)
+    return {
+        "blocks_matched": matched_n,
+        "blocks_scanned": scanned,
+        "blocks_skipped": matched_n - scanned,
+        "skip_rate": round(1.0 - scanned / matched_n, 4) if matched_n else 0.0,
+        "candidates": int(n_cands),
+    }
 
 
 def bruteforce_search(
     spark: SparkSession,
     forward: DataFrame,
-    qvecs: dict[str, QVec],
+    queries,
     k: int = 10,
 ) -> DataFrame:
-    """Exact full-scan top-k (Q10 analogue / ground-truth oracle).
-
-    Explode-join-free: scores every doc via the vectorized CSR dot.
-    """
-    qids = list(qvecs)
-    qdf = spark.createDataFrame([(q,) for q in qids], "query_id STRING")
-    cands = qdf.crossJoin(forward.select("doc_id"))
-    scored = exact_score(cands, forward, qvecs).filter(F.col("score") > 0)
+    """Exact full-scan top-k (Q10 analogue / ground-truth oracle)."""
+    qdf, small = _as_queries_df(spark, queries)
+    qdf = qdf.filter(F.size("q_terms") > 0)
+    cands = qdf.select("query_id").crossJoin(forward.select("doc_id"))
+    scored = exact_score(cands, forward, qdf, broadcast_queries=small).filter(
+        F.col("score") > 0
+    )
     return topk(scored, k)

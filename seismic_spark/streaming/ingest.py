@@ -87,6 +87,17 @@ def start_ingest(
         docs = batch_df.select("url", "text").withColumn(
             "doc_id", F.abs(F.xxhash64("url"))
         )
+        # drop already-indexed doc ids: re-ingesting an existing URL must not
+        # create duplicate forward rows (they would double-count in scoring)
+        # or duplicate docs across a term's blocks (θ assumes distinct docs).
+        existing = spark.read.parquet(os.path.join(index_path, "forward")).select(
+            "doc_id"
+        )
+        # localCheckpoint truncates the lineage: the anti-join must be
+        # evaluated against the PRE-append forward snapshot, not re-executed
+        # lazily after the forward append below (which would see the new
+        # docs and drop them from the postings delta).
+        docs = docs.join(existing, "doc_id", "left_anti").localCheckpoint(eager=True)
         d_fwd, d_post = build_delta_postings(
             spark, docs, vocab, meta["n_docs"], meta["avgdl"], cfg, batch_id
         )

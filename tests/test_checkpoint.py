@@ -55,3 +55,38 @@ def test_config_change_invalidates_stages(spark, docs_df, tmp_path):
     CheckpointedBuild(spark, path).build(docs_df, IndexConfig(n_postings=5))
     v2 = os.path.getmtime(os.path.join(path, "postings", "_SUCCESS"))
     assert v2 > v1  # rebuilt under the new fingerprint
+
+
+def test_data_change_invalidates_stages(spark, docs_df, tmp_path):
+    """Same row count, different content → fingerprint must differ and every
+    stage must rebuild (ADVICE r1: content signature in the fingerprint)."""
+    path = str(tmp_path / "ckpt3")
+    cfg = IndexConfig(n_postings=100)
+    CheckpointedBuild(spark, path).build(docs_df, cfg)
+    v1 = os.path.getmtime(os.path.join(path, "postings", "_SUCCESS"))
+
+    from pyspark.sql import functions as F
+
+    changed = docs_df.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" gamma"))
+    )
+    idx = CheckpointedBuild(spark, path).build(changed, cfg)
+    v2 = os.path.getmtime(os.path.join(path, "postings", "_SUCCESS"))
+    assert v2 > v1  # rebuilt, not silently reused
+    # and the rebuilt index reflects the new corpus
+    assert idx.vocab.filter(F.col("term") == "gamma").count() == 1
+
+
+def test_checkpointed_f16_build_matches_direct(spark, docs_df, tmp_path):
+    """value_type='f16' must round-trip weights in the staged build exactly
+    like the direct build path (ADVICE r1: CheckpointedBuild ignored f16)."""
+    from seismic_spark.index import SeismicSparkIndex
+
+    cfg = IndexConfig(n_postings=100, value_type="f16")
+    staged = CheckpointedBuild(spark, str(tmp_path / "ckpt4")).build(docs_df, cfg)
+    direct = SeismicSparkIndex.build(spark, docs_df, cfg)
+    s = {(r.doc_id, tuple(r.terms), tuple(r.weights))
+         for r in staged.forward.collect()}
+    d = {(r.doc_id, tuple(r.terms), tuple(r.weights))
+         for r in direct.forward.collect()}
+    assert s == d  # bitwise-equal f16-rounded weights

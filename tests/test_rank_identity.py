@@ -39,11 +39,11 @@ def corpus(spark):
 
 
 @pytest.mark.parametrize(
-    "cfg,hf,qc",
+    "cfg,hf,qc,tp",
     [
-        (IndexConfig(n_postings=20, summary_energy=0.5, blocking="geometric"), 0.8, 5),
-        (IndexConfig(n_postings=50, summary_energy=0.8, blocking="fixed", block_size=8), 0.9, 10),
-        (IndexConfig(n_postings=10**6, summary_energy=1.0), 1.0, 50),
+        (IndexConfig(n_postings=20, summary_energy=0.5, blocking="geometric"), 0.8, 5, False),
+        (IndexConfig(n_postings=50, summary_energy=0.8, blocking="fixed", block_size=8), 0.9, 10, False),
+        (IndexConfig(n_postings=10**6, summary_energy=1.0), 1.0, 50, False),
         (
             IndexConfig(
                 n_postings=40, summary_energy=0.6, blocking="kmeans",
@@ -51,30 +51,48 @@ def corpus(spark):
             ),
             0.8,
             8,
+            False,
         ),
         (
             IndexConfig(n_postings=15, pruning="global", max_fraction=1.5,
                         summary_energy=0.7),
             0.9,
             10,
+            False,
         ),
         (
             IndexConfig(n_postings=60, summary_energy=0.6, value_type="f16"),
             0.8,
             10,
+            False,
+        ),
+        # two-phase θ tightening (first_sorted analogue) — pruned + exact cfg
+        (IndexConfig(n_postings=20, summary_energy=0.5, blocking="geometric"), 0.8, 5, True),
+        (IndexConfig(n_postings=10**6, summary_energy=1.0), 1.0, 50, True),
+        # exact k-means assignment (B3 semantics): doc_cut=∞ scores full vectors
+        (
+            IndexConfig(
+                n_postings=40, summary_energy=0.6, blocking="kmeans",
+                centroid_fraction=0.2, min_cluster_size=2, kmeans_doc_cut=10**9,
+            ),
+            0.8,
+            8,
+            False,
         ),
     ],
 )
-def test_rank_identity_vs_numpy_oracle(spark, corpus, cfg, hf, qc):
+def test_rank_identity_vs_numpy_oracle(spark, corpus, cfg, hf, qc, tp):
     docs, pairs = corpus
     queries = synth_queries(800, n_queries=12, seed=42)
     idx = SeismicSparkIndex.build(spark, docs, cfg)
     got = [
         (r.query_id, r.rank, r.doc_id, r.score)
-        for r in idx.batch_search(queries, k=10, query_cut=qc, heap_factor=hf).collect()
+        for r in idx.batch_search(
+            queries, k=10, query_cut=qc, heap_factor=hf, two_phase=tp
+        ).collect()
     ]
     oidx = oracle.build(pairs, cfg)
-    exp = oracle.search(oidx, queries, k=10, query_cut=qc, heap_factor=hf)
+    exp = oracle.search(oidx, queries, k=10, query_cut=qc, heap_factor=hf, two_phase=tp)
     g, e = _normalize(got), _normalize(exp)
     assert set(g) == set(e), f"query sets differ: {set(g) ^ set(e)}"
     for qid in e:
