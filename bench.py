@@ -6,9 +6,15 @@ local[$SPARK_GRAFT_CPUS].  Times the engine's headline paths:
   build         index build (tokenize → BM25 → postings w/ summaries)
   search_exact  batch top-10, heap_factor=1.0 (exact), 100 queries
   search_pruned batch top-10 on a statically pruned index, heap_factor=0.8
+  search_2p     same pruned batch with two-phase θ tightening (first_sorted)
+  knn           κ-NN graph over the pruned corpus — ONE distributed job
   bruteforce    exact full-scan top-10, 20 queries (oracle path)
   dedup_lsh     minhash signatures + LSH candidate pairs
   ann_cosine    brute-force cosine top-5 over embeddings
+
+Extras include Accuracy@10 vs exact and the block skip rate for
+hf ∈ {1.0, 0.9, 0.8} on the pruned index (run_experiments.py:287-309
+analogue) — the numbers that show what dynamic pruning buys.
 
 Prints: {"metric": ..., "value": total_sec, "unit": "sec",
          "queries": {name: sec}, "sf": ..., plus throughput extras}.
@@ -72,7 +78,7 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
 
     t0 = time.time()
     idx_pruned = SeismicSparkIndex.build(
-        spark, docs, IndexConfig(n_postings=1000, pruning="fixed")
+        spark, docs, IndexConfig(n_postings=1000, pruning="fixed", summary_energy=0.8)
     )
     idx_pruned.postings.count()
     timings["build_pruned"] = round(time.time() - t0, 3)
@@ -83,8 +89,34 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
     extras["search_pruned_qps"] = round(len(qs) / timings["search_pruned"], 2)
 
     t0 = time.time()
+    idx_pruned.batch_search(
+        qs, k=10, query_cut=10, heap_factor=0.8, two_phase=True
+    ).count()
+    timings["search_2p"] = round(time.time() - t0, 3)
+    extras["search_2p_qps"] = round(len(qs) / timings["search_2p"], 2)
+
+    t0 = time.time()
     idx.bruteforce(qs[:20], k=10).count()
     timings["bruteforce"] = round(time.time() - t0, 3)
+
+    # κ-NN graph: one distributed self-search job over the pruned corpus
+    from seismic_spark import knn as knn_mod
+
+    t0 = time.time()
+    knn_mod.build_knn(idx_pruned, nknn=5, query_cut=10, heap_factor=0.7).count()
+    timings["knn"] = round(time.time() - t0, 3)
+    extras["knn_docs_per_sec"] = round(n_docs / timings["knn"], 1)
+
+    # quality/efficiency grid (Accuracy@10 + skip rate per heap_factor)
+    from seismic_spark.metrics import recall_grid
+
+    grid = recall_grid(
+        idx_pruned, qs[:20], k=10, query_cut=10, heap_factors=(1.0, 0.9, 0.8)
+    )
+    extras["accuracy_grid"] = {
+        str(g["hf"]): {"accuracy": g["accuracy"], "skip_rate": g["skip_rate"]}
+        for g in grid
+    }
 
     full_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()

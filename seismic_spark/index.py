@@ -193,13 +193,48 @@ class SeismicSparkIndex:
         return _decode_docs(rows).select("doc_id")
 
     def space_usage(self) -> dict[str, int]:
-        """Q12 analogue: bytes per index component (engine-side estimate)."""
-        row = self.postings.agg(
-            F.sum(F.aggregate(F.transform("doc_gaps", F.octet_length), F.lit(0), lambda a, b: a + b)).alias("gaps"),
-            F.sum(F.aggregate(F.transform("weights_f16", F.octet_length), F.lit(0), lambda a, b: a + b)).alias("weights"),
-            F.sum(F.aggregate(F.transform("summary_codes", F.octet_length), F.lit(0), lambda a, b: a + b)).alias("codes"),
+        """Q12 analogue: bytes per index component, mirroring the reference's
+        full breakdown (inverted_index.rs:103-149, quantized_summary.rs:163-273):
+        forward index, packed postings (doc-id gaps + f16 weights), block
+        offsets, and quantized summaries (ids + codes + affine params)."""
+
+        def _blob_bytes(col: str):
+            return F.sum(
+                F.aggregate(
+                    F.transform(col, F.octet_length), F.lit(0), lambda a, b: a + b
+                )
+            )
+
+        prow = self.postings.agg(
+            _blob_bytes("doc_gaps").alias("gaps"),
+            _blob_bytes("weights_f16").alias("weights"),
+            _blob_bytes("summary_codes").alias("codes"),
+            # block_offsets analogue: blocks + block_lens int32 arrays
+            F.sum(4 * (F.size("blocks") + F.size("block_lens"))).alias("offsets"),
+            # summary component ids (int32) + per-summary affine params (2×f32)
+            F.sum(
+                F.aggregate(
+                    F.transform("summary_terms", F.size),
+                    F.lit(0),
+                    lambda a, b: a + b,
+                )
+                * 4
+                + 8 * F.size("summary_min")
+            ).alias("summary_meta"),
         ).collect()[0]
-        return {k: int(row[k] or 0) for k in ("gaps", "weights", "codes")}
+        frow = self.forward.agg(
+            # terms int32 + weights f64 per stored component
+            F.sum(F.size("terms") * 12 + 8).alias("fwd")
+        ).collect()[0]
+        out = {k: int(prow[k] or 0) for k in
+               ("gaps", "weights", "codes", "offsets", "summary_meta")}
+        out["forward"] = int(frow["fwd"] or 0)
+        out["summaries"] = out["codes"] + out["summary_meta"]
+        out["postings_packed"] = out["gaps"] + out["weights"]
+        out["total"] = (
+            out["forward"] + out["postings_packed"] + out["offsets"] + out["summaries"]
+        )
+        return out
 
     # -------------------------------------------------------- save / load ---
 

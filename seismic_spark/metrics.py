@@ -1,0 +1,66 @@
+"""Quality + efficiency metrics: Accuracy@k vs exact, skip rate, recall grid.
+
+The reference's primary quality metric is Accuracy@k — the overlap of the
+engine's top-k with the exact brute-force top-k, averaged over queries
+(scripts/run_experiments.py:287-309, scripts/recall.py:17-33).  This module
+re-exposes it for the Spark engine, together with the block skip-rate
+instrumentation (search.search_stats) that quantifies what dynamic pruning
+actually buys at a given (heap_factor, query_cut, config).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from seismic_spark import search as srch
+
+
+def accuracy_at_k(got: DataFrame, exact: DataFrame, k: int) -> float:
+    """|got top-k ∩ exact top-k| / (n_queries · k) — run_experiments.py:287-309.
+
+    Queries with fewer than k exact results contribute their exact count to
+    the denominator (same as the reference: denominator is total exact
+    result pairs, capped at k per query).
+    """
+    g = got.filter(F.col("rank") <= k).select("query_id", "doc_id")
+    e = exact.filter(F.col("rank") <= k).select("query_id", "doc_id")
+    n_exact = e.count()
+    if n_exact == 0:
+        return 1.0
+    n_hit = g.join(e, ["query_id", "doc_id"]).count()
+    return round(n_hit / n_exact, 4)
+
+
+def recall_grid(
+    index,
+    queries: list[tuple[str, list[str], list[float]]],
+    k: int = 10,
+    query_cut: int = 10,
+    heap_factors: tuple[float, ...] = (1.0, 0.9, 0.8),
+    two_phase: bool = False,
+) -> list[dict]:
+    """Accuracy@k + skip-rate for a heap_factor sweep against the exact
+    brute-force ground truth — the Guidelines.md:41-70 tuning table analogue.
+
+    Returns one dict per heap_factor:
+      {hf, accuracy, blocks_matched, blocks_scanned, skip_rate, candidates}
+    """
+    qvecs = srch.resolve_queries(index.spark, queries, index.vocab)
+    exact = srch.bruteforce_search(index.spark, index.forward, qvecs, k).persist()
+    exact.count()
+    rows = []
+    for hf in heap_factors:
+        got = srch.batch_search(
+            index.spark, index.postings, index.forward, qvecs,
+            k=k, query_cut=query_cut, heap_factor=hf, two_phase=two_phase,
+        )
+        stats = srch.search_stats(
+            index.spark, index.postings, index.forward, qvecs,
+            k=k, query_cut=query_cut, heap_factor=hf, two_phase=two_phase,
+        )
+        rows.append(
+            {"hf": hf, "accuracy": accuracy_at_k(got, exact, k), **stats}
+        )
+    exact.unpersist()
+    return rows

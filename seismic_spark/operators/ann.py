@@ -212,12 +212,16 @@ def lsh_bucketed_topk(
     n_planes: int = 6,
     dim: int = 64,
     matmul: bool = False,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the query's LSH bucket,
     exact cosine re-scoring within.  Recall rises with fewer planes /
     multi-probe; this is the partition-pruned path for 10^9+ vectors
     (bucket becomes the corpus table's partition key).
 
+    ``multiprobe=1`` additionally probes every bucket at Hamming distance 1
+    from the query's bucket (n_planes extra probes per query — corpus side
+    untouched, so the corpus partitioning stays a single bucket key).
     ``matmul=True`` computes buckets with the Arrow matmul path (production
     scale); default uses the JVM join path whose SQL oracle exists.  The
     re-score is the fold dot (bitwise DuckDB-replicable).
@@ -227,6 +231,17 @@ def lsh_bucketed_topk(
         bucketer(queries, dim, n_planes)
         .select(F.col("vec_id").alias("query_id"), "bucket")
     )
+    if multiprobe >= 1:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                for i in range(n_planes)
+            ],
+        )
+        qb = qb.select(
+            "query_id", F.explode(flips).alias("bucket")
+        ).distinct()
     cb = bucketer(corpus, dim, n_planes).select("vec_id", "bucket")
     cand = qb.join(cb, "bucket").select("query_id", "vec_id")
     q = queries.select(

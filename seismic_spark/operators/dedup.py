@@ -18,7 +18,7 @@ replicate results bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from seismic_spark.functions.hashing import MERSENNE, affine_hash, hash_params, md5_int
@@ -76,13 +76,24 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    bucket_cap: int = 10_000,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Banding: docs sharing any (band, band_key) become candidate pairs.
 
     band_key concatenates the band's minhashes; the self-join shuffles on
-    (band, key) — bounded buckets at honest shingle entropy.
-    Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+    (band, key).  Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    Mega-bucket salting: boilerplate content (empty pages, error templates)
+    can put millions of docs in ONE band bucket, making a single join task
+    quadratic.  Buckets larger than ``bucket_cap`` are salted: the left side
+    is split into ``n_salts`` groups by hash(doc_a) and the right side is
+    replicated to every salt, so each unordered pair still joins EXACTLY
+    once (at doc_a's salt) — output identical to the unsalted join — while
+    the biggest single join cell shrinks by n_salts×.
     """
     banded = (
         signatures.withColumn("band", (F.col("sig_idx") / rows_per_band).cast("int"))
@@ -97,12 +108,29 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+    w = Window.partitionBy("band", "band_key")
+    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    big = F.col("_bsz") > bucket_cap
     left = banded.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_key"
+        F.col("doc_id").alias("doc_a"),
+        "band",
+        "band_key",
+        F.when(big, F.pmod(F.hash("doc_id"), F.lit(n_salts)))
+        .otherwise(F.lit(0))
+        .alias("salt"),
     )
-    right = banded.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        "band",
+        "band_key",
+        F.explode(
+            F.when(big, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ).alias("salt"),
+    )
     return (
-        left.join(right, ["band", "band_key"])
+        left.join(right, ["band", "band_key", "salt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

@@ -92,16 +92,19 @@ build_sec = time.time() - t0
 
 terms = [r["term"] for r in idx.vocab.filter(F.col("df") > 5).select("term").collect()]
 qs = bench_queries(terms, n=1000)
-t0 = time.time()
-idx.batch_search(qs, k=10, query_cut=10, heap_factor=0.8).count()
-search_sec = time.time() - t0
+searches = []
+for rep in range(3):  # first rep includes Python-worker warmup; keep all
+    t0 = time.time()
+    idx.batch_search(qs, k=10, query_cut=10, heap_factor=0.8).count()
+    searches.append(round(time.time() - t0, 2))
 
 spark.stop()
+search_med = sorted(searches)[len(searches) // 2]
 print("RESULT " + json.dumps({
     "cores": cores_max, "build_sec": round(build_sec, 2),
-    "search_sec": round(search_sec, 2),
+    "search_secs": searches, "search_sec": search_med,
     "build_docs_per_sec": round(n_docs / build_sec, 1),
-    "search_qps": round(len(qs) / search_sec, 2),
+    "search_qps": round(len(qs) / search_med, 2),
 }))
 """
 
@@ -165,6 +168,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=200000)
     ap.add_argument("--vocab", type=int, default=50000)
     ap.add_argument("--n", type=int, default=4, help="small size in CORES (2 executors)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="ABBA repetitions per level (medians reported)")
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("--stop-cluster", action="store_true")
     args = ap.parse_args()
@@ -173,8 +178,30 @@ def main() -> None:
         return
 
     ensure_cluster(workers=8)
-    small = run_level(args.n, args.docs, args.vocab)
-    big = run_level(args.n * 4, args.docs, args.vocab)
+    # ABBA ordering cancels slow drift (page cache, thermal, background load)
+    order = ([args.n, args.n * 4, args.n * 4, args.n] * args.reps)[: 2 * 2 * args.reps]
+    if args.reps == 1:
+        order = [args.n, args.n * 4]
+    runs: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
+    for cores in order:
+        runs[cores].append(run_level(cores, args.docs, args.vocab))
+
+    def med(level: int, key: str) -> float:
+        vals = sorted(r[key] for r in runs[level])
+        return vals[len(vals) // 2]
+
+    small = {"cores": args.n,
+             "build_sec": med(args.n, "build_sec"),
+             "search_sec": med(args.n, "search_sec"),
+             "build_docs_per_sec": round(args.docs / med(args.n, "build_sec"), 1),
+             "search_qps": round(1000 / med(args.n, "search_sec"), 2),
+             "all": runs[args.n]}
+    big = {"cores": args.n * 4,
+           "build_sec": med(args.n * 4, "build_sec"),
+           "search_sec": med(args.n * 4, "search_sec"),
+           "build_docs_per_sec": round(args.docs / med(args.n * 4, "build_sec"), 1),
+           "search_qps": round(1000 / med(args.n * 4, "search_sec"), 2),
+           "all": runs[args.n * 4]}
     eff_build = round(small["build_sec"] / big["build_sec"] / 4, 3)
     eff_search = round(small["search_sec"] / big["search_sec"] / 4, 3)
     result = {
