@@ -116,12 +116,66 @@ class CheckpointedBuild:
 
     # ------------------------------------------------------------- build ----
 
+    def _run_postings_batched(
+        self,
+        dtw: DataFrame,
+        forward: DataFrame,
+        cfg: IndexConfig,
+        n_terms: int,
+        id_col: str,
+        n_batches: int,
+        base_fp: str,
+    ) -> DataFrame:
+        """`batched_indexing` analogue (pylib/mod.rs:327-384): build postings
+        in term-range waves, each written + lineage-tracked independently, so
+        the peak shuffle working set is 1/n_batches of the corpus and a
+        killed build resumes at wave granularity.
+
+        Wave w covers terms with ``term_id % n_batches == w``.  For
+        ``pruning='fixed'`` (per-term top-n) the union of waves is EXACTLY
+        the unbatched output; for ``pruning='global'`` the threshold is
+        computed per wave with a per-wave budget (documented deviation, same
+        flavor as the reference's per-batch prune-then-merge).
+        """
+        out_root = self._dir("postings")
+        os.makedirs(out_root, exist_ok=True)
+        for w in range(n_batches):
+            stage = f"postings_wave_{w}"
+            fp = _fingerprint(cfg, {"base": base_fp, "wave": w, "of": n_batches})
+            wave_dir = os.path.join(out_root, f"wave={w}")
+            rec = self.lineage.get(stage)
+            if (
+                self.resume
+                and rec is not None
+                and rec.get("status") == "complete"
+                and rec.get("fingerprint") == fp
+                and os.path.exists(os.path.join(wave_dir, "_SUCCESS"))
+            ):
+                self.lineage[stage]["resumed"] = True
+                continue
+            t0 = time.time()
+            wave_dtw = dtw.filter(F.pmod(F.col("term_id"), F.lit(n_batches)) == w)
+            wave_terms = max(1, n_terms // n_batches)
+            pst.build_postings(
+                wave_dtw, forward, cfg, wave_terms, id_col
+            ).write.mode("overwrite").parquet(wave_dir)
+            self.lineage[stage] = {
+                "status": "complete",
+                "fingerprint": fp,
+                "duration_sec": round(time.time() - t0, 2),
+                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+            self.metrics[f"{stage}_sec"] = self.lineage[stage]["duration_sec"]
+            self._flush()
+        return self.spark.read.parquet(os.path.join(out_root, "wave=*"))
+
     def build(
         self,
         docs: DataFrame,
         cfg: IndexConfig | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        batched_indexing: int | None = None,
     ) -> SeismicSparkIndex:
         """Fully storage-based staged build: every intermediate is a snapshot
         read back from storage, never a cached lineage — so task scheduling
@@ -161,21 +215,31 @@ class CheckpointedBuild:
             dtw = textprep.bm25_weights(
                 textprep.term_frequencies(tokens, id_col), vocab, n_docs, avgdl, id_col
             )
-            if cfg.value_type == "f16":
-                # same f16 storage round-trip as the direct build path
-                # (index.py) — a checkpointed build must not diverge from it
-                dtw = textprep.f16_round_trip_col(dtw)
+            # same value-storage round-trip as the direct build path
+            # (index.py) — a checkpointed build must not diverge from it
+            if cfg.value_type not in ("f64", None):
+                scale_max = None
+                if cfg.value_type in ("fixedu8", "fixedu16"):
+                    scale_max = float(
+                        dtw.agg(F.max("weight")).collect()[0][0] or 0.0
+                    )
+                dtw = textprep.value_round_trip_col(dtw, cfg.value_type, scale_max)
             return dtw
 
         dtw = self._run_stage("weights", base_fp, _weights)
         forward = self._run_stage(
             "forward", base_fp, lambda: fwd.build_forward(dtw, id_col)
         )
-        postings = self._run_stage(
-            "postings",
-            base_fp,
-            lambda: pst.build_postings(dtw, forward, cfg, n_terms, id_col),
-        )
+        if batched_indexing and batched_indexing > 1:
+            postings = self._run_postings_batched(
+                dtw, forward, cfg, n_terms, id_col, batched_indexing, base_fp
+            )
+        else:
+            postings = self._run_stage(
+                "postings",
+                base_fp,
+                lambda: pst.build_postings(dtw, forward, cfg, n_terms, id_col),
+            )
 
         self.metrics["total_sec"] = round(time.time() - t_start, 2)
         self.metrics["n_docs"] = n_docs

@@ -135,6 +135,40 @@ def f16_round_trip(values: np.ndarray) -> np.ndarray:
     return np.asarray(values, dtype=np.float32).astype(np.float16).astype(np.float32)
 
 
+def bf16_round_trip(values: np.ndarray) -> np.ndarray:
+    """f64 → f32 → bfloat16 (round-to-nearest-even on the low 16 bits) → f64.
+
+    Mirrors the reference's bf16 value storage option
+    (build_inverted_index.rs:260-266, TomlInstructions.md:79).  numpy has no
+    bf16 dtype, so the rounding is done on the f32 bit pattern directly —
+    valid for the positive finite weights this engine stores.
+    """
+    v = np.asarray(values, dtype=np.float64).astype(np.float32)
+    u = v.view(np.uint32)
+    r = (u + np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1))) & np.uint32(
+        0xFFFF0000
+    )
+    return r.view(np.float32).astype(np.float64)
+
+
+def fixed_round_trip(values: np.ndarray, bits: int, scale_max: float) -> np.ndarray:
+    """Fixed-point Q0.{bits} value round-trip, max-scaled.
+
+    The reference's FixedU8Q/FixedU16Q (TomlInstructions.md:100-101) assume
+    values in [0, 1) — true for SPLADE, not for raw BM25 weights — so this
+    engine scales the grid by the corpus-wide max weight (documented
+    adaptation): Δ = scale_max / (2^bits - 1), w → round(w/Δ)·Δ, saturating
+    at scale_max.  Deterministic and shared with the numpy oracle.
+    """
+    v = np.asarray(values, dtype=np.float64)
+    levels = (1 << bits) - 1
+    if scale_max <= 0.0:
+        return np.zeros_like(v)
+    delta = float(scale_max) / levels
+    codes = np.clip(np.floor(v / delta + 0.5), 0, levels)
+    return codes * delta
+
+
 def f16_encode(values: np.ndarray) -> bytes:
     return np.asarray(values, dtype=np.float32).astype(np.float16).tobytes()
 

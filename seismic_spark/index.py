@@ -72,8 +72,13 @@ class SeismicSparkIndex:
         n_terms = vocab.count()
         tf_df = textprep.term_frequencies(toks, id_col)
         dtw = textprep.bm25_weights(tf_df, vocab, n_docs, avgdl, id_col)
-        if cfg.value_type == "f16":
-            dtw = textprep.f16_round_trip_col(dtw)
+        if cfg.value_type not in ("f64", None):
+            scale_max = None
+            if cfg.value_type in ("fixedu8", "fixedu16"):
+                scale_max = float(
+                    dtw.agg(F.max("weight")).collect()[0][0] or 0.0
+                )
+            dtw = textprep.value_round_trip_col(dtw, cfg.value_type, scale_max)
         # persist: consumed twice (forward build + pruning windows)
         dtw = dtw.persist()
         forward = fwd.build_forward(dtw, id_col).persist()
@@ -173,6 +178,47 @@ class SeismicSparkIndex:
             k=k, query_cut=query_cut, heap_factor=heap_factor,
         )
         return knn_mod.refine(base, self.knn, self.forward, qvecs, k=k, n_knn=n_knn)
+
+    # -------------------------------------------------------- conversion ----
+
+    def convert(self, value_type: str, cache: bool = True) -> "SeismicSparkIndex":
+        """Q13 analogue (`convert_dataset_from`, inverted_index.rs:237-284):
+        re-encode the index in another value storage type WITHOUT re-running
+        tokenize/vocab/BM25 — the forward table is exploded back to
+        (doc, term, weight) rows, weights are round-tripped through the new
+        type, and forward+postings are rebuilt from there (the CREATE TABLE
+        AS SELECT re-encode pattern, SURVEY §2.6 Q13).
+
+        Note the round-trip applies to the CURRENT stored weights, exactly
+        like the reference's dataset conversion (it converts stored values,
+        not the original f32 source).
+        """
+        from seismic_spark import forward as fwd_mod
+        from seismic_spark import textprep
+        from dataclasses import replace
+
+        dtw = self.forward.select(
+            "doc_id",
+            F.explode(F.arrays_zip("terms", "weights")).alias("z"),
+        ).select(
+            "doc_id",
+            F.col("z.terms").alias("term_id"),
+            F.col("z.weights").alias("weight"),
+        )
+        scale_max = None
+        if value_type in ("fixedu8", "fixedu16"):
+            scale_max = float(dtw.agg(F.max("weight")).collect()[0][0] or 0.0)
+        dtw = textprep.value_round_trip_col(dtw, value_type, scale_max).persist()
+        cfg = replace(self.config, value_type=value_type)
+        n_terms = self.vocab.count()
+        forward = fwd_mod.build_forward(dtw).persist()
+        postings = pst.build_postings(dtw, forward, cfg, n_terms)
+        if cache:
+            postings = postings.persist()
+        return SeismicSparkIndex(
+            self.spark, self.vocab, forward, postings,
+            self.n_docs, self.avgdl, cfg,
+        )
 
     # ----------------------------------------------------- introspection ----
 

@@ -124,6 +124,92 @@ def lsh_buckets_matmul(df: DataFrame, dim: int, n_planes: int) -> DataFrame:
     )
 
 
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, n_probe: int = 1
+) -> DataFrame:
+    """(vec_id, cell) assignment to the ``n_probe`` nearest IVF centroids
+    (by cosine) — one Arrow matmul per batch against the broadcast centroid
+    matrix.  n_probe=1 for the corpus side (each vector lives in ONE cell =
+    the partition key), >1 for the query side (probe several cells)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            E = np.vstack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            sims = En @ Cn.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_probe),
+                    "cell": top.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id BIGINT, cell INT"
+    )
+
+
+def ivf_centroids(corpus: DataFrame, n_cells: int, dim: int) -> np.ndarray:
+    """Deterministic IVF centroids: sample n_cells corpus vectors by the
+    smallest md5-derived sample key (order-independent, retry-safe), collect
+    to the driver (n_cells × dim floats — tiny)."""
+    from seismic_spark.functions.hashing import md5_int
+
+    rows = (
+        corpus.select("vec_id", "embedding")
+        .withColumn("_k", md5_int(F.concat(F.lit("ivf_"), F.col("vec_id"))))
+        .orderBy("_k")
+        .limit(n_cells)
+        .collect()
+    )
+    return np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+
+def ivf_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the second scale path
+    the build brief names besides LSH: corpus vectors are partitioned into
+    ``n_cells`` centroid cells (the cell id is the 10^9-vector partition
+    key); each query probes its ``n_probe`` nearest cells and exact-rescored
+    candidates come only from those cells."""
+    cents = ivf_centroids(corpus, n_cells, dim)
+    cb = ivf_assign(corpus, cents, n_probe=1)
+    qb = ivf_assign(queries, cents, n_probe=n_probe).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cand = qb.join(cb, "cell").select("query_id", "vec_id").distinct()
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = corpus.select("vec_id", F.col("embedding").alias("c_emb"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "vec_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _fold_dot(F.col("q_emb"), F.col("c_emb"))
+                / (_fold_norm(F.col("q_emb")) * _fold_norm(F.col("c_emb"))),
+                4,
+            ),
+        )
+        .select("query_id", "vec_id", "cosine")
+    )
+    return _rank_topk(scored, k)
+
+
 def _fold_dot(a, b):
     """Left fold in array order, double math — matches DuckDB list_reduce
     with a prepended 0.0 seed bit-for-bit."""

@@ -62,7 +62,6 @@ def build(docs: list[tuple[int, str]], cfg: IndexConfig | None = None) -> Oracle
     doc_ids = np.asarray(sorted(toks), dtype=np.int64)
     fwd_terms: list[np.ndarray] = []
     fwd_weights: list[np.ndarray] = []
-    entries: dict[int, list[tuple[float, int]]] = {}
     for pos, d in enumerate(doc_ids.tolist()):
         tl = toks[d]
         dl = len(tl)
@@ -75,16 +74,43 @@ def build(docs: list[tuple[int, str]], cfg: IndexConfig | None = None) -> Oracle
             idf = log(1.0 + (n_docs - df[tid] + 0.5) / (df[tid] + 0.5))
             c = tf[tid]
             ws[i] = idf * c * (K1 + 1.0) / (c + K1 * (1.0 - B + B * dl / avgdl))
-        if cfg.value_type == "f16":
-            # f64→f16→f64 directly, matching the engine UDF's rounding path
-            ws = ws.astype(np.float16).astype(np.float64)
-        for i, tid in enumerate(tids.tolist()):
-            entries.setdefault(tid, []).append((float(ws[i]), d))
         fwd_terms.append(tids)
         fwd_weights.append(ws)
 
+    # value-storage round-trip (P5 matrix) — same transforms as the engine
+    # UDF (textprep.value_round_trip_col); fixed-point types scale by the
+    # corpus-wide max weight, so it's a second pass.
+    if cfg.value_type not in ("f64", None):
+        scale_max = max(
+            (float(w.max()) for w in fwd_weights if w.size), default=0.0
+        )
+        for i, ws in enumerate(fwd_weights):
+            if cfg.value_type == "f16":
+                fwd_weights[i] = ws.astype(np.float16).astype(np.float64)
+            elif cfg.value_type == "f32":
+                fwd_weights[i] = ws.astype(np.float32).astype(np.float64)
+            elif cfg.value_type == "bf16":
+                fwd_weights[i] = codec.bf16_round_trip(ws)
+            elif cfg.value_type == "fixedu8":
+                fwd_weights[i] = codec.fixed_round_trip(ws, 8, scale_max)
+            elif cfg.value_type == "fixedu16":
+                fwd_weights[i] = codec.fixed_round_trip(ws, 16, scale_max)
+            else:
+                raise ValueError(f"unknown value_type {cfg.value_type!r}")
+
+    entries: dict[int, list[tuple[float, int]]] = {}
+    for pos, d in enumerate(doc_ids.tolist()):
+        tids, ws = fwd_terms[pos], fwd_weights[pos]
+        for i, tid in enumerate(tids.tolist()):
+            entries.setdefault(tid, []).append((float(ws[i]), d))
+
     idx = OracleIndex(vocab, df, doc_ids, fwd_terms, fwd_weights, {}, cfg)
     pos_of = {int(d): i for i, d in enumerate(doc_ids.tolist())}
+
+    # the engine ships member vectors through the posting-builder shuffle as
+    # FLOAT (postings.build_postings payload cut) — mirror that rounding for
+    # the kmeans-assignment and summary paths (exact scoring stays f64)
+    fwd_w32 = [w.astype(np.float32).astype(np.float64) for w in fwd_weights]
 
     # GlobalThreshold (I2) semantics shared with the engine: keep all entries
     # with weight >= the (n_terms·n_postings)-th largest weight (ties at the
@@ -110,7 +136,7 @@ def build(docs: list[tuple[int, str]], cfg: IndexConfig | None = None) -> Oracle
             continue
         if cfg.blocking == "kmeans":
             dt = [idx.fwd_terms[pos_of[d]] for _, d in lst]
-            dw = [idx.fwd_weights[pos_of[d]] for _, d in lst]
+            dw = [fwd_w32[pos_of[d]] for _, d in lst]
             blocks = kmeans_blocks(dt, dw, cfg, tid)
         else:
             blocks = block_of_rank_np(np.arange(len(lst)), cfg)
@@ -119,15 +145,19 @@ def build(docs: list[tuple[int, str]], cfg: IndexConfig | None = None) -> Oracle
             sel = [lst[i] for i in np.flatnonzero(blocks == b)]
             ids = np.asarray(sorted(d for _, d in sel), dtype=np.int64)
             bmax = codec.f32_floor(max(w for w, _ in sel))
-            # component-wise max over member docs' full vectors
+            # component-wise max over member docs' full vectors (f32-rounded
+            # payload, then one ulp up — matching _build_one_list exactly)
             comp: dict[int, float] = {}
             for _, d in sel:
                 i = pos_of[d]
-                for t, w in zip(idx.fwd_terms[i].tolist(), idx.fwd_weights[i].tolist()):
+                for t, w in zip(idx.fwd_terms[i].tolist(), fwd_w32[i].tolist()):
                     if w > comp.get(t, -1.0):
                         comp[t] = w
             st = np.asarray(sorted(comp), dtype=np.int64)
             sv = np.asarray([comp[t] for t in st.tolist()], dtype=np.float64)
+            sv = np.nextafter(sv.astype(np.float32), np.float32(np.inf)).astype(
+                np.float64
+            )
             st, sv = truncate_energy(st, sv, cfg.summary_energy)
             codes, lo, quant = codec.quantize_u8(sv, ceil=cfg.quant_ceil)
             p["blocks"].append(

@@ -77,9 +77,13 @@ class IndexConfig:
     quant_ceil: bool = True  # round-up codes → dequant ≥ true max
     blocks_per_row: int = 4096  # salt rows so one list row stays bounded
     salt_buckets: int = 8  # two-level top-k pre-aggregation fan-out
-    value_type: str = "f64"  # "f64" | "f16" (reference default is f16
-    # storage + f32 compute, pylib/mod.rs:27-39; we round-trip weights
-    # through f16 before indexing/scoring when selected)
+    value_type: str = "f64"  # "f64" | "f32" | "f16" | "bf16" | "fixedu8" |
+    # "fixedu16" — the reference's value-type matrix (TomlInstructions.md:79,
+    # build_inverted_index.rs:246-291; its default is f16 storage + f32
+    # compute, pylib/mod.rs:27-39).  Weights are round-tripped through the
+    # selected storage type before indexing/scoring
+    # (textprep.value_round_trip_col); fixed-point grids are scaled by the
+    # corpus max weight (documented adaptation — BM25 weights aren't [0,1)).
 
 
 # ------------------------------------------------------------- pruning ------
@@ -429,7 +433,11 @@ def _build_one_list(pdf: pd.DataFrame, cfg: IndexConfig, id_col: str) -> dict:
         bmaxs.append(codec.f32_floor(ws.max()))
         ut, mx = _component_max(list(d_terms[s:e]), list(d_weights[s:e]))
         ut32 = ut.astype(np.int32)
-        mx32 = mx  # keep float64; quantize_u8 handles safe f32 conversion
+        # vectors arrived f32-rounded (shuffle payload) — one ulp up restores
+        # the ≥-true-f64 upper-bound property for the summary path
+        mx32 = np.nextafter(mx.astype(np.float32), np.float32(np.inf)).astype(
+            np.float64
+        )
         ut32, mx32 = truncate_energy(ut32, mx32, cfg.summary_energy)
         codes, lo, quant = codec.quantize_u8(mx32, ceil=cfg.quant_ceil)
         s_terms.append(ut32)
@@ -533,7 +541,18 @@ def build_postings(
     entries = entries.withColumn(
         "salt", (F.col("block") / cfg.blocks_per_row).cast("int")
     )
-    joined = entries.join(forward, id_col).select(
+    # member vectors ride the shuffle as FLOAT (not DOUBLE): each doc's
+    # vector is duplicated once per pruned entry, so this halves the
+    # dominant shuffle payload.  Exactness is preserved by bumping every
+    # summary component max one f32 ulp UP in the builder (≥ the true f64
+    # value since f32-nearest error < 1 ulp); the entry `weight` column
+    # (θ's block_max side) stays f64 and rounds DOWN (codec.f32_floor).
+    fwd_payload = forward.select(
+        id_col,
+        "terms",
+        F.transform("weights", lambda x: x.cast("float")).alias("weights"),
+    )
+    joined = entries.join(fwd_payload, id_col).select(
         "term_id", "salt", "block", "rank", id_col, "weight", "terms", "weights"
     )
     parted = joined.repartition(F.col("term_id"), F.col("salt")).sortWithinPartitions(

@@ -113,16 +113,46 @@ def bm25_weights(
 def f16_round_trip_col(weights_df: DataFrame, col: str = "weight") -> DataFrame:
     """Round-trip a weight column through float16 (P5 analogue — the
     reference's default f16 value storage, computed in f32)."""
+    return value_round_trip_col(weights_df, "f16", col=col)
+
+
+def value_round_trip_col(
+    weights_df: DataFrame,
+    value_type: str,
+    scale_max: float | None = None,
+    col: str = "weight",
+) -> DataFrame:
+    """Apply the configured value-storage round-trip to a weight column —
+    the P5 value-type matrix (build_inverted_index.rs:246-291,
+    TomlInstructions.md:79-103): f64 (none), f32, f16 (default in the
+    reference), bf16, fixedu8, fixedu16.  Fixed-point types need the
+    corpus-wide max weight (``scale_max``) for the Q-grid."""
     import numpy as np
     from pyspark.sql.types import DoubleType
 
+    from seismic_spark import codec
+
+    if value_type in ("f64", "none", None):
+        return weights_df
+    if value_type in ("fixedu8", "fixedu16") and scale_max is None:
+        raise ValueError(f"{value_type} requires scale_max (corpus max weight)")
+
     @pandas_udf(DoubleType())
     def rt(w: pd.Series) -> pd.Series:
-        return pd.Series(
-            w.to_numpy(dtype=np.float64)
-            .astype(np.float16)
-            .astype(np.float64)
-        )
+        v = w.to_numpy(dtype=np.float64)
+        if value_type == "f16":
+            out = v.astype(np.float16).astype(np.float64)
+        elif value_type == "f32":
+            out = v.astype(np.float32).astype(np.float64)
+        elif value_type == "bf16":
+            out = codec.bf16_round_trip(v)
+        elif value_type == "fixedu8":
+            out = codec.fixed_round_trip(v, 8, scale_max)
+        elif value_type == "fixedu16":
+            out = codec.fixed_round_trip(v, 16, scale_max)
+        else:
+            raise ValueError(f"unknown value_type {value_type!r}")
+        return pd.Series(out)
 
     return weights_df.withColumn(col, rt(F.col(col)))
 

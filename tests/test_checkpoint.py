@@ -90,3 +90,33 @@ def test_checkpointed_f16_build_matches_direct(spark, docs_df, tmp_path):
     d = {(r.doc_id, tuple(r.terms), tuple(r.weights))
          for r in direct.forward.collect()}
     assert s == d  # bitwise-equal f16-rounded weights
+
+
+def test_batched_indexing_matches_unbatched(spark, docs_df, tmp_path):
+    """`batched_indexing` (pylib/mod.rs:327-384 analogue): term-range waves
+    with per-wave lineage; for fixed pruning the union of waves is EXACTLY
+    the unbatched postings table, and a killed build resumes at wave
+    granularity."""
+    cfg = IndexConfig(n_postings=100, blocking="fixed", block_size=4)
+    plain = CheckpointedBuild(spark, str(tmp_path / "plain")).build(docs_df, cfg)
+    bpath = str(tmp_path / "batched")
+    batched = CheckpointedBuild(spark, bpath).build(
+        docs_df, cfg, batched_indexing=3
+    )
+    assert _postings_snapshot(batched) == _postings_snapshot(plain)
+    lineage = json.load(open(os.path.join(bpath, "lineage.json")))
+    waves = [k for k in lineage if k.startswith("postings_wave_")]
+    assert len(waves) == 3
+
+    # crash one wave; resume rebuilds only it
+    shutil.rmtree(os.path.join(bpath, "postings", "wave=1"))
+    w0 = os.path.getmtime(os.path.join(bpath, "postings", "wave=0", "_SUCCESS"))
+    resumed = CheckpointedBuild(spark, bpath, resume=True).build(
+        docs_df, cfg, batched_indexing=3
+    )
+    assert _postings_snapshot(resumed) == _postings_snapshot(plain)
+    assert os.path.getmtime(
+        os.path.join(bpath, "postings", "wave=0", "_SUCCESS")
+    ) == w0
+    lineage2 = json.load(open(os.path.join(bpath, "lineage.json")))
+    assert lineage2["postings_wave_0"].get("resumed") is True

@@ -64,3 +64,29 @@ def test_quantize_constant_vector_is_exact():
     codes, lo, quant = codec.quantize_u8(v, ceil=True)
     assert quant == 0.0
     assert np.array_equal(codec.dequantize_u8(codes, lo, quant), v)
+
+
+def test_bf16_round_trip_properties():
+    rng = np.random.default_rng(5)
+    v = rng.uniform(0.01, 20.0, 10_000)
+    out = codec.bf16_round_trip(v)
+    # idempotent (already on the bf16 grid)
+    assert np.array_equal(codec.bf16_round_trip(out), out)
+    # 8-bit mantissa → relative error ≤ 2^-8
+    assert np.max(np.abs(out - v) / v) <= 2.0**-8
+    # exact on powers of two
+    assert codec.bf16_round_trip(np.array([2.0, 0.5, 1.0]))[0] == 2.0
+
+
+def test_fixed_round_trip_properties():
+    rng = np.random.default_rng(6)
+    v = rng.uniform(0.0, 9.0, 10_000)
+    mx = float(v.max())
+    for bits in (8, 16):
+        out = codec.fixed_round_trip(v, bits, mx)
+        delta = mx / ((1 << bits) - 1)
+        assert np.max(np.abs(out - v)) <= delta / 2 + 1e-12
+        assert np.array_equal(codec.fixed_round_trip(out, bits, mx), out)
+        assert out.max() <= mx + 1e-12
+    # degenerate scale
+    assert (codec.fixed_round_trip(v, 8, 0.0) == 0).all()

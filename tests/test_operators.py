@@ -99,3 +99,27 @@ def test_ann_lsh_recall_vs_exact(spark):
     # planes must lift it substantially.
     assert rec_probed > rec_single
     assert rec_probed >= 0.3
+
+
+def test_ivf_bucketed_topk_recall(spark):
+    """IVF cells + multi-probe: recall well above the single-cell floor, and
+    every returned pair is a true (query, corpus) pair with correct cosine
+    (spot-checked against the exact ranking)."""
+    from seismic_spark.metrics import accuracy_at_k
+    from seismic_spark.operators.ann import cosine_topk_fold, ivf_bucketed_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    c = emb.filter(F.col("vec_id") % 50 != 0)
+    exact = cosine_topk_fold(q, c, k=5).withColumnRenamed("vec_id", "doc_id")
+    ivf = ivf_bucketed_topk(q, c, k=5, n_cells=8, n_probe=4, dim=64)
+    rec = accuracy_at_k(ivf.withColumnRenamed("vec_id", "doc_id"), exact, k=5)
+    assert rec >= 0.5  # probing half the cells on unclustered data
+    # candidate scores are exact cosines: every (query, vec, cosine) triple
+    # returned by IVF must appear identically in the full exact ranking
+    full = cosine_topk_fold(q, c, k=10**6)
+    j = ivf.join(
+        full.withColumnRenamed("cosine", "c2").withColumnRenamed("rank", "r2"),
+        ["query_id", "vec_id"],
+    )
+    assert j.filter(F.col("cosine") != F.col("c2")).count() == 0

@@ -66,6 +66,19 @@ def corpus(spark):
             10,
             False,
         ),
+        # value-type matrix (P5): bf16 + max-scaled fixed-point storage
+        (
+            IndexConfig(n_postings=60, summary_energy=0.6, value_type="bf16"),
+            0.8,
+            10,
+            False,
+        ),
+        (
+            IndexConfig(n_postings=60, summary_energy=0.6, value_type="fixedu8"),
+            0.8,
+            10,
+            False,
+        ),
         # two-phase θ tightening (first_sorted analogue) — pruned + exact cfg
         (IndexConfig(n_postings=20, summary_energy=0.5, blocking="geometric"), 0.8, 5, True),
         (IndexConfig(n_postings=10**6, summary_energy=1.0), 1.0, 50, True),
