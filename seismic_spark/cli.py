@@ -48,10 +48,25 @@ def cmd_build(args) -> None:
         pruning=args.pruning,
         summary_energy=args.summary_energy,
         blocking=args.blocking,
+        value_type=args.value_type,
     )
     ckpt = CheckpointedBuild(spark, args.output, resume=not args.no_resume)
-    ckpt.build(docs, cfg)
+    ckpt.build(docs, cfg, batched_indexing=args.batched_indexing)
     print(json.dumps(ckpt.metrics))
+
+
+def cmd_knn(args) -> None:
+    from seismic_spark import knn as knn_mod
+    from seismic_spark.index import SeismicSparkIndex
+
+    spark = _spark(args)
+    idx = SeismicSparkIndex.load(spark, args.index)
+    knn = knn_mod.build_knn(
+        idx, nknn=args.nknn, query_cut=args.query_cut,
+        heap_factor=args.heap_factor,
+    )
+    knn_mod.save_knn(knn, args.index)
+    print(json.dumps({"docs": knn.count(), "nknn": args.nknn}))
 
 
 def cmd_search(args) -> None:
@@ -61,7 +76,7 @@ def cmd_search(args) -> None:
     idx = SeismicSparkIndex.load(spark, args.index)
     res = idx.search_text(
         "q0", args.query, k=args.k, query_cut=args.query_cut,
-        heap_factor=args.heap_factor,
+        heap_factor=args.heap_factor, two_phase=args.two_phase,
     )
     for r in res.collect():
         print(f"{r.rank}\t{r.doc_id}\t{r.score:.4f}")
@@ -84,7 +99,18 @@ def main(argv=None) -> None:
     b.add_argument("--n-postings", type=int, default=3500)
     b.add_argument("--pruning", default="fixed", choices=["fixed", "global", "none"])
     b.add_argument("--summary-energy", type=float, default=1.0)
-    b.add_argument("--blocking", default="geometric", choices=["geometric", "fixed"])
+    b.add_argument(
+        "--blocking", default="geometric", choices=["geometric", "fixed", "kmeans"]
+    )
+    b.add_argument(
+        "--value-type", default="f64",
+        choices=["f64", "f32", "f16", "bf16", "fixedu8", "fixedu16"],
+    )
+    b.add_argument(
+        "--batched-indexing", type=int, default=None,
+        help="build postings in N term-range waves (bounded memory, "
+             "wave-granular resume)",
+    )
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
 
@@ -94,7 +120,16 @@ def main(argv=None) -> None:
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--query-cut", type=int, default=10)
     s.add_argument("--heap-factor", type=float, default=1.0)
+    s.add_argument("--two-phase", action="store_true",
+                   help="first_sorted-style θ tightening")
     s.set_defaults(fn=cmd_search)
+
+    kn = sub.add_parser("knn", help="build + save the κ-NN graph (one job)")
+    kn.add_argument("--index", required=True)
+    kn.add_argument("--nknn", type=int, default=10)
+    kn.add_argument("--query-cut", type=int, default=10)
+    kn.add_argument("--heap-factor", type=float, default=0.7)
+    kn.set_defaults(fn=cmd_knn)
 
     be = sub.add_parser("bench", help="run the headline benchmark")
     be.add_argument("--sf-dir", default="/root/testdata/sf0.1")

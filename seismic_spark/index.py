@@ -131,7 +131,7 @@ class SeismicSparkIndex:
 
     def search_text(
         self, query_id: str, text: str, k: int = 10, query_cut: int = 10,
-        heap_factor: float = 1.0,
+        heap_factor: float = 1.0, two_phase: bool = False,
     ) -> DataFrame:
         """Free-text query: tokenize and weight terms by query-side idf·tf."""
         toks = [t for t in text.lower().split(" ") if t]
@@ -140,7 +140,7 @@ class SeismicSparkIndex:
         c = Counter(toks)
         return self.batch_search(
             [(query_id, list(c), [float(v) for v in c.values()])], k, query_cut,
-            heap_factor,
+            heap_factor, two_phase,
         )
 
     def bruteforce(

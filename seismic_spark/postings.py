@@ -77,6 +77,10 @@ class IndexConfig:
     quant_ceil: bool = True  # round-up codes → dequant ≥ true max
     blocks_per_row: int = 4096  # salt rows so one list row stays bounded
     salt_buckets: int = 8  # two-level top-k pre-aggregation fan-out
+    postings_partitions: int = 0  # partition count for the vector-carrying
+    # posting shuffle; 0 = spark.sql.shuffle.partitions.  Size it so tasks
+    # land ~64MB (≈ entries × (12B × avg nnz) / 64MB) — 250MB+ Arrow tasks
+    # spill/GC-serialize the stage (measured 2×, BENCH/BASELINE.md)
     value_type: str = "f64"  # "f64" | "f32" | "f16" | "bf16" | "fixedu8" |
     # "fixedu16" — the reference's value-type matrix (TomlInstructions.md:79,
     # build_inverted_index.rs:246-291; its default is f16 storage + f32
@@ -555,7 +559,10 @@ def build_postings(
     joined = entries.join(fwd_payload, id_col).select(
         "term_id", "salt", "block", "rank", id_col, "weight", "terms", "weights"
     )
-    parted = joined.repartition(F.col("term_id"), F.col("salt")).sortWithinPartitions(
-        "term_id", "salt", "rank"
-    )
+    part_cols = [F.col("term_id"), F.col("salt")]
+    parted = (
+        joined.repartition(cfg.postings_partitions, *part_cols)
+        if cfg.postings_partitions
+        else joined.repartition(*part_cols)
+    ).sortWithinPartitions("term_id", "salt", "rank")
     return parted.mapInPandas(make_stream_builder(cfg, id_col), POSTINGS_SCHEMA)

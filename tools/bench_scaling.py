@@ -61,7 +61,10 @@ spark = (SparkSession.builder.appName("scaling-%d" % cores_max)
     # single-machine pseudo-cluster: brief locality wait (the 3s default
     # stalls every wave; 0s causes cache-miss recompute storms)
     .config("spark.locality.wait", "1s")
-    .config("spark.sql.shuffle.partitions", "32")
+    # 128, not 32: at 1M docs the vector-carrying posting shuffle needs
+    # ~64MB tasks — 32 partitions made 250MB+ Arrow tasks that spill/GC and
+    # serialize the stage (measured 2x: 197s -> 102s at local[16])
+    .config("spark.sql.shuffle.partitions", "128")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.ui.enabled", "false")
