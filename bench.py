@@ -138,7 +138,7 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "seismic_spark headline suite wall time (build + top-10 batch search + dedup + ann)",
+        "metric": "seismic_spark headline suite wall time (build + top-10 batch search + knn graph + dedup + ann; knn is new in r2)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -406,59 +406,102 @@ def batch_search(
     qvec_j = F.broadcast(qdf) if broadcast_queries else qdf
     matched = matched.join(qvec_j, "query_id")
     ubs = _block_ubs(matched)
-    if two_phase:
-        # persist: consumed by phase-1 candidates, θ window, and survivors
+    if broadcast_queries or two_phase:
+        # small query batches: cache the block scan — θ is an aggregate of
+        # ubs, and without the cache Catalyst executes the whole
+        # postings-join→block-scan subtree once per consumer
         ubs = ubs.persist()
 
-    # θ_q = max over terms of the k-th largest per-term block-max lower bound
-    wt = Window.partitionBy("query_id", "term_id").orderBy(F.col("lb").desc())
-    theta = (
-        ubs.select("query_id", "term_id", "lb")
-        .withColumn("_r", F.row_number().over(wt))
-        .filter(F.col("_r") == k)
-        .groupBy("query_id")
-        .agg(F.max("lb").alias("theta"))
-    )
-
-    if two_phase:
-        # phase 1 (first_sorted analogue): exact-score the best-ub block of
-        # every matched list; the k-th best exact score tightens θ.
-        wb = Window.partitionBy("query_id", "term_id").orderBy(
-            F.col("ub").desc(), F.col("salt").asc(), F.col("block").asc()
-        )
-        best = ubs.withColumn("_r", F.row_number().over(wb)).filter(F.col("_r") == 1)
-        p1 = exact_score(
-            _decode_docs(best), forward, qdf, broadcast_queries=broadcast_queries
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        )
-        theta2 = (
-            p1.withColumn("_r", F.row_number().over(wq))
-            .filter(F.col("_r") == k)
-            .groupBy("query_id")
-            .agg(F.max("score").alias("theta2"))
-        )
-        theta = (
-            theta.join(theta2, "query_id", "full")
-            .select(
-                "query_id",
-                F.greatest(
-                    F.coalesce("theta", F.lit(float("-inf"))),
-                    F.coalesce("theta2", F.lit(float("-inf"))),
-                ).alias("theta"),
-            )
-            .filter(F.col("theta") != float("-inf"))
-        )
-
-    # θ is one row per query — always broadcast (stats are unknown to AQE
-    # because it hangs off a Python UDF output)
-    survivors = ubs.join(F.broadcast(theta), "query_id", "left").filter(
-        F.col("theta").isNull() | (F.col("ub") >= F.lit(heap_factor) * F.col("theta"))
+    survivors = _theta_survivors(
+        ubs, forward, qdf, k, heap_factor, two_phase, broadcast_queries
     )
     cands = _decode_docs(survivors)
     scored = exact_score(cands, forward, qdf, broadcast_queries=broadcast_queries)
     return topk(scored, k)
+
+
+def _theta_survivors(
+    ubs: DataFrame,
+    forward: DataFrame,
+    qdf: DataFrame,
+    k: int,
+    heap_factor: float,
+    two_phase: bool,
+    broadcast_queries: bool,
+) -> DataFrame:
+    """θ derivation + skip filter over the ubs frame.
+
+    θ_q (phase 0) = max over matched terms of the k-th largest per-term
+    block-max lower bound.  Two physical strategies, same value:
+
+    - broadcast (small) query batches: ubs is persisted by the caller, θ is
+      a narrow aggregate of the cache joined back as a per-query broadcast —
+      no shuffle of the gap blobs.
+    - DataFrame-scale query sets (κ-NN: the ubs frame is too big to cache):
+      WINDOW functions over the ubs frame itself (rank within (query, term),
+      then a per-query max of the rank-k values) — one pass, no self-join,
+      so the postings-join→block-scan subtree is never executed twice.
+
+    two_phase adds the first_sorted-style tightening: exact-score the
+    best-ub block per matched list; the per-query k-th best exact score is
+    broadcast back and maxed into θ.
+    """
+    wt = Window.partitionBy("query_id", "term_id").orderBy(F.col("lb").desc())
+    if broadcast_queries:
+        theta0 = (
+            ubs.select("query_id", "term_id", "lb")
+            .withColumn("_r", F.row_number().over(wt))
+            .filter(F.col("_r") == k)
+            .groupBy("query_id")
+            .agg(F.max("lb").alias("theta"))
+        )
+        ubs = ubs.join(F.broadcast(theta0), "query_id", "left")
+    else:
+        wq = Window.partitionBy("query_id")
+        ubs = ubs.withColumn("_r", F.row_number().over(wt)).withColumn(
+            "theta",
+            F.max(F.when(F.col("_r") == k, F.col("lb"))).over(wq),
+        )
+
+    if two_phase:
+        wb = Window.partitionBy("query_id", "term_id").orderBy(
+            F.col("ub").desc(), F.col("salt").asc(), F.col("block").asc()
+        )
+        best = (
+            ubs.select("query_id", "term_id", "salt", "block", "ub", "gaps")
+            .withColumn("_rb", F.row_number().over(wb))
+            .filter(F.col("_rb") == 1)
+        )
+        p1 = exact_score(
+            _decode_docs(best), forward, qdf, broadcast_queries=broadcast_queries
+        )
+        wqs = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        theta2 = (
+            p1.withColumn("_r", F.row_number().over(wqs))
+            .filter(F.col("_r") == k)
+            .groupBy("query_id")
+            .agg(F.max("score").alias("theta2"))
+        )
+        # θ2 is one row per query — always broadcast (stats are unknown to
+        # AQE because it hangs off a Python UDF output)
+        ubs = ubs.join(F.broadcast(theta2), "query_id", "left").withColumn(
+            "theta",
+            F.greatest(
+                F.coalesce("theta", F.lit(float("-inf"))),
+                F.coalesce("theta2", F.lit(float("-inf"))),
+            ),
+        ).withColumn(
+            "theta",
+            F.when(F.col("theta") == float("-inf"), F.lit(None)).otherwise(
+                F.col("theta")
+            ),
+        )
+
+    return ubs.filter(
+        F.col("theta").isNull() | (F.col("ub") >= F.lit(heap_factor) * F.col("theta"))
+    )
 
 
 def search_stats(
@@ -485,58 +528,14 @@ def search_stats(
         F.broadcast(qdf), "query_id"
     )
     ubs = _block_ubs(matched).persist()
-    wt = Window.partitionBy("query_id", "term_id").orderBy(F.col("lb").desc())
-    theta = (
-        ubs.select("query_id", "term_id", "lb")
-        .withColumn("_r", F.row_number().over(wt))
-        .filter(F.col("_r") == k)
-        .groupBy("query_id")
-        .agg(F.max("lb").alias("theta"))
-    )
-    if two_phase:
-        wb = Window.partitionBy("query_id", "term_id").orderBy(
-            F.col("ub").desc(), F.col("salt").asc(), F.col("block").asc()
-        )
-        best = ubs.withColumn("_r", F.row_number().over(wb)).filter(F.col("_r") == 1)
-        p1 = exact_score(_decode_docs(best), forward, qdf)
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("doc_id").asc()
-        )
-        theta2 = (
-            p1.withColumn("_r", F.row_number().over(wq))
-            .filter(F.col("_r") == k)
-            .groupBy("query_id")
-            .agg(F.max("score").alias("theta2"))
-        )
-        theta = (
-            theta.join(theta2, "query_id", "full")
-            .select(
-                "query_id",
-                F.greatest(
-                    F.coalesce("theta", F.lit(float("-inf"))),
-                    F.coalesce("theta2", F.lit(float("-inf"))),
-                ).alias("theta"),
-            )
-            .filter(F.col("theta") != float("-inf"))
-        )
-    joined = ubs.join(F.broadcast(theta), "query_id", "left")
-    agg = joined.agg(
-        F.count(F.lit(1)).alias("blocks_matched"),
-        F.sum(
-            F.when(
-                F.col("theta").isNull()
-                | (F.col("ub") >= F.lit(heap_factor) * F.col("theta")),
-                1,
-            ).otherwise(0)
-        ).alias("blocks_scanned"),
-    ).collect()[0]
-    survivors = joined.filter(
-        F.col("theta").isNull() | (F.col("ub") >= F.lit(heap_factor) * F.col("theta"))
-    )
+    survivors = _theta_survivors(
+        ubs, forward, qdf, k, heap_factor, two_phase, broadcast_queries=True
+    ).persist()
+    matched_n = ubs.count()
+    scanned = survivors.count()
     n_cands = _decode_docs(survivors).count()
+    survivors.unpersist()
     ubs.unpersist()
-    matched_n = int(agg["blocks_matched"] or 0)
-    scanned = int(agg["blocks_scanned"] or 0)
     return {
         "blocks_matched": matched_n,
         "blocks_scanned": scanned,
