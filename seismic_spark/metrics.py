@@ -32,6 +32,25 @@ def accuracy_at_k(got: DataFrame, exact: DataFrame, k: int) -> float:
     return round(n_hit / n_exact, 4)
 
 
+def mrr_at_k(got: DataFrame, qrels: DataFrame, k: int = 10) -> float:
+    """Mean reciprocal rank of the first relevant doc within the top-k —
+    the reference's IR-metric harness analogue (scripts/run_experiments.py:
+    242-284, via ir_measures).  ``qrels``: (query_id, doc_id) relevant pairs.
+    Queries with no relevant doc retrieved contribute 0.
+    """
+    n_q = qrels.select("query_id").distinct().count()
+    if n_q == 0:
+        return 0.0
+    first_hit = (
+        got.filter(F.col("rank") <= k)
+        .join(qrels, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("fr"))
+    )
+    s = first_hit.agg(F.sum(1.0 / F.col("fr"))).collect()[0][0] or 0.0
+    return round(float(s) / n_q, 4)
+
+
 def recall_grid(
     index,
     queries: list[tuple[str, list[str], list[float]]],

@@ -145,3 +145,20 @@ def test_introspection_q11_q12(spark, corpus_index):
         su["forward"] + su["postings_packed"] + su["offsets"] + su["summaries"]
     )
     assert su["postings_packed"] == su["gaps"] + su["weights"]
+
+
+def test_mrr_at_k_definition(spark):
+    from seismic_spark.metrics import mrr_at_k
+
+    got = spark.createDataFrame(
+        [("a", 1, 10, 1.0), ("a", 2, 11, 0.9),
+         ("b", 1, 20, 1.0), ("b", 3, 21, 0.5),
+         ("c", 1, 30, 1.0)],
+        "query_id STRING, rank INT, doc_id BIGINT, score DOUBLE",
+    )
+    qrels = spark.createDataFrame(
+        [("a", 11), ("b", 21), ("c", 99), ("d", 1)],
+        "query_id STRING, doc_id BIGINT",
+    )
+    # a: first relevant at rank 2 → 1/2; b: rank 3 → 1/3; c,d: no hit → 0
+    assert mrr_at_k(got, qrels, k=10) == round((0.5 + 1/3) / 4, 4)
