@@ -134,14 +134,21 @@ class CheckpointedBuild:
         Wave w covers terms with ``term_id % n_batches == w``.  For
         ``pruning='fixed'`` (per-term top-n) the union of waves is EXACTLY
         the unbatched output; for ``pruning='global'`` the threshold is
-        computed per wave with a per-wave budget (documented deviation, same
-        flavor as the reference's per-batch prune-then-merge).
+        computed ONCE on the full entry set (one extra bounded-collect pass,
+        postings.global_threshold_cut) and applied per wave — so the union
+        is also exactly the unbatched output (test_checkpoint pins this).
         """
         out_root = self._dir("postings")
         os.makedirs(out_root, exist_ok=True)
+        global_cut = None
+        if cfg.pruning == "global":
+            global_cut = pst.global_threshold_cut(dtw, n_terms * cfg.n_postings)
         for w in range(n_batches):
             stage = f"postings_wave_{w}"
-            fp = _fingerprint(cfg, {"base": base_fp, "wave": w, "of": n_batches})
+            fp = _fingerprint(
+                cfg,
+                {"base": base_fp, "wave": w, "of": n_batches, "gcut": global_cut},
+            )
             wave_dir = os.path.join(out_root, f"wave={w}")
             rec = self.lineage.get(stage)
             if (
@@ -155,9 +162,8 @@ class CheckpointedBuild:
                 continue
             t0 = time.time()
             wave_dtw = dtw.filter(F.pmod(F.col("term_id"), F.lit(n_batches)) == w)
-            wave_terms = max(1, n_terms // n_batches)
             pst.build_postings(
-                wave_dtw, forward, cfg, wave_terms, id_col
+                wave_dtw, forward, cfg, n_terms, id_col, global_cut=global_cut
             ).write.mode("overwrite").parquet(wave_dir)
             self.lineage[stage] = {
                 "status": "complete",

@@ -98,11 +98,18 @@ class SeismicSparkIndex:
         k: int = 10,
         query_cut: int = 10,
         heap_factor: float = 1.0,
-        two_phase: bool = False,
+        two_phase: bool | None = None,
     ) -> DataFrame:
         """(query_id, rank, doc_id, score) for a batch of term-weighted
         queries; unknown terms silently dropped (P3).  ``two_phase`` enables
-        the first_sorted-style θ tightening (search.py)."""
+        the first_sorted-style θ tightening (search.py); the default (None)
+        mirrors the reference's ``sorted=True`` default (pylib/mod.rs:490-533):
+        ON whenever it can pay — when summaries are estimates
+        (summary_energy < 1) or the search itself is approximate (hf < 1) —
+        OFF on the exact path, where phase-0 θ already skips everything
+        skippable and phase 1 would only add a pass."""
+        if two_phase is None:
+            two_phase = self.config.summary_energy < 1.0 or heap_factor < 1.0
         qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
         return srch.batch_search(
             self.spark,
@@ -123,7 +130,7 @@ class SeismicSparkIndex:
         k: int = 10,
         query_cut: int = 10,
         heap_factor: float = 1.0,
-        two_phase: bool = False,
+        two_phase: bool | None = None,
     ) -> DataFrame:
         return self.batch_search(
             [(query_id, terms, weights)], k, query_cut, heap_factor, two_phase
@@ -131,7 +138,7 @@ class SeismicSparkIndex:
 
     def search_text(
         self, query_id: str, text: str, k: int = 10, query_cut: int = 10,
-        heap_factor: float = 1.0, two_phase: bool = False,
+        heap_factor: float = 1.0, two_phase: bool | None = None,
     ) -> DataFrame:
         """Free-text query: tokenize and weight terms by query-side idf·tf."""
         toks = [t for t in text.lower().split(" ") if t]

@@ -132,6 +132,9 @@ def ivf_assign(
     matrix.  n_probe=1 for the corpus side (each vector lives in ONE cell =
     the partition key), >1 for the query side (probe several cells)."""
     C = np.asarray(centroids, dtype=np.float64)
+    # ivf_centroids can return fewer than n_cells rows on small corpora;
+    # probing more cells than exist would misalign the repeat below
+    n_probe = min(n_probe, C.shape[0])
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     def assign(it):

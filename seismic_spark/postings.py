@@ -183,21 +183,39 @@ def global_threshold_cut(dtw: DataFrame, budget: int) -> float:
 
 
 def global_threshold_pruning(
-    dtw: DataFrame, n_terms: int, cfg: IndexConfig, id_col: str = "doc_id"
+    dtw: DataFrame,
+    n_terms: int,
+    cfg: IndexConfig,
+    id_col: str = "doc_id",
+    precomputed_cut: float | None = None,
 ) -> DataFrame:
     """GlobalThreshold pruning (I2, inverted_index.rs:354-389): keep the
     globally largest ~`n_terms × n_postings` entries, cap each list at
-    `n_postings × max_fraction`."""
-    cut = global_threshold_cut(dtw, n_terms * cfg.n_postings)
+    `n_postings × max_fraction`.
+
+    ``precomputed_cut`` lets a batched build compute the threshold ONCE on
+    the full entry set and apply it per wave — the union of waves is then
+    exactly the unbatched output (checkpoint._run_postings_batched)."""
+    cut = (
+        precomputed_cut
+        if precomputed_cut is not None
+        else global_threshold_cut(dtw, n_terms * cfg.n_postings)
+    )
     kept = dtw if cut == float("-inf") else dtw.filter(F.col("weight") >= cut)
     cap = int(cfg.n_postings * cfg.max_fraction)
     return topk_per_term(kept, cap, cfg.salt_buckets, id_col)
 
 
-def prune(dtw: DataFrame, n_terms: int, cfg: IndexConfig, id_col: str = "doc_id") -> DataFrame:
+def prune(
+    dtw: DataFrame,
+    n_terms: int,
+    cfg: IndexConfig,
+    id_col: str = "doc_id",
+    global_cut: float | None = None,
+) -> DataFrame:
     """Dispatch on cfg.pruning → (doc_id, term_id, weight, rank)."""
     if cfg.pruning == "global":
-        return global_threshold_pruning(dtw, n_terms, cfg, id_col)
+        return global_threshold_pruning(dtw, n_terms, cfg, id_col, global_cut)
     n = cfg.n_postings if cfg.pruning == "fixed" else 2**31 - 1
     return topk_per_term(dtw, n, cfg.salt_buckets, id_col)
 
@@ -529,6 +547,7 @@ def build_postings(
     cfg: IndexConfig,
     n_terms: int,
     id_col: str = "doc_id",
+    global_cut: float | None = None,
 ) -> DataFrame:
     """(doc_id, term_id, weight) + forward → postings table (schema above).
 
@@ -540,7 +559,7 @@ def build_postings(
     list size is bounded by pruning (≤ n_postings × max_fraction entries)
     and `blocks_per_row` salting, so no task sees an unbounded head term.
     """
-    pruned = prune(dtw, n_terms, cfg, id_col)
+    pruned = prune(dtw, n_terms, cfg, id_col, global_cut)
     entries = pruned.withColumn("block", block_of_rank_col(F.col("rank"), cfg))
     entries = entries.withColumn(
         "salt", (F.col("block") / cfg.blocks_per_row).cast("int")

@@ -155,6 +155,10 @@ def _query_keys(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     qkey = row_index·2^32 + term_id; rows ascend and q_terms are sorted
     ascending within a row, so the concatenation is globally sorted — one
     np.searchsorted serves every row of the batch at once.
+
+    A user-supplied queries DataFrame (QUERIES_SCHEMA) with UNSORTED q_terms
+    is repaired here (in-row sort, weights permuted identically); duplicate
+    term ids within one row are a caller error and raise.
     """
     qt_list = [np.asarray(a, dtype=np.int64) for a in pdf["q_terms"]]
     qlens = np.fromiter((a.size for a in qt_list), dtype=np.int64, count=len(qt_list))
@@ -163,7 +167,18 @@ def _query_keys(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         [np.asarray(a, dtype=np.float64) for a in pdf["q_weights"]], np.float64
     )
     row_rep = np.repeat(np.arange(len(pdf), dtype=np.int64), qlens)
-    return row_rep * _KEY_SHIFT + qt_all, qw_all, qlens
+    qkey = row_rep * _KEY_SHIFT + qt_all
+    if qkey.size > 1:
+        d = np.diff(qkey)
+        if not np.all(d > 0):
+            order = np.argsort(qkey, kind="stable")
+            qkey, qw_all = qkey[order], qw_all[order]
+            if np.any(np.diff(qkey) == 0):
+                raise ValueError(
+                    "queries DataFrame has duplicate term ids within a row; "
+                    "q_terms must be distinct per query"
+                )
+    return qkey, qw_all, qlens
 
 
 def _gather_qw(
@@ -350,21 +365,23 @@ def _block_ubs(postings_matched: DataFrame) -> DataFrame:
 
 def _decode_docs(block_rows: DataFrame) -> DataFrame:
     """(query_id, gaps) → distinct (query_id, doc_id) candidates (the
-    reference's cross-list `visited` dedup, posting_list.rs:206-214)."""
+    reference's cross-list `visited` dedup, posting_list.rs:206-214).
+
+    One vectorized continuation-bit pass decodes ALL gap buffers of an Arrow
+    batch (codec.delta_decode_multi) — no per-row Python on the query path.
+    """
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
-            qids, dids = [], []
-            for qid, buf in zip(pdf["query_id"], pdf["gaps"]):
-                ids = codec.delta_decode(bytes(buf)).astype(np.int64)
-                qids.append(np.repeat(np.array([qid], dtype=object), ids.size))
-                dids.append(ids)
+            ids, counts = codec.delta_decode_multi(
+                [bytes(b) for b in pdf["gaps"]]
+            )
             yield pd.DataFrame(
                 {
-                    "query_id": _concat(qids, object),
-                    "doc_id": _concat(dids, np.int64),
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(), counts),
+                    "doc_id": ids.astype(np.int64),
                 }
             )
 
@@ -376,6 +393,22 @@ def _decode_docs(block_rows: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------- batch search ----
+
+# ubs frames persisted by previous batch_search calls; retired (unpersist) at
+# the next call so a long-lived session issuing many searches never
+# accumulates dead cached RDDs in executor storage memory.  A result
+# DataFrame collected AFTER a newer search recomputes its subtree — correct,
+# just un-cached.
+_LIVE_UBS_CACHES: list[DataFrame] = []
+
+
+def _retire_ubs_caches() -> None:
+    while _LIVE_UBS_CACHES:
+        df = _LIVE_UBS_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def batch_search(
@@ -393,8 +426,10 @@ def batch_search(
 
     ``queries`` is a dict {query_id: (term_ids, weights)} (interactive path,
     broadcast) or a DataFrame with QUERIES_SCHEMA (bulk path, e.g. every doc
-    as a query for κ-NN).  Returns (query_id, rank, doc_id, score); no
-    driver-side loops or mid-plan actions.
+    as a query for κ-NN).  ``q_terms`` SHOULD be sorted ascending per row
+    with distinct ids; unsorted rows are repaired batch-side (see
+    _query_keys), duplicates raise.  Returns (query_id, rank, doc_id,
+    score); no driver-side loops or mid-plan actions.
     """
     qdf, small = _as_queries_df(spark, queries)
     if broadcast_queries is None:
@@ -410,7 +445,9 @@ def batch_search(
         # small query batches: cache the block scan — θ is an aggregate of
         # ubs, and without the cache Catalyst executes the whole
         # postings-join→block-scan subtree once per consumer
+        _retire_ubs_caches()
         ubs = ubs.persist()
+        _LIVE_UBS_CACHES.append(ubs)
 
     survivors = _theta_survivors(
         ubs, forward, qdf, k, heap_factor, two_phase, broadcast_queries

@@ -11,13 +11,22 @@ per epoch).
 
 Documented approximation (vs a full rebuild): delta docs are BM25-weighted
 with the stats (df/avgdl/N) of the base corpus snapshot — identical to the
-reference's behavior of resolving against the existing token map; a periodic
-compaction rebuild (CheckpointedBuild) re-trues the weights.
+reference's behavior of resolving against the existing token map.  The decay
+is bounded by :func:`compact`: it folds base tokens + every streamed delta's
+tokens into ONE re-trued rebuild (fresh df/avgdl/N, grown vocab, re-pruned
+postings) whose output is exactly a from-scratch build over the union corpus
+(test_streaming_ingest pins the equality) — the batch analogue of the
+reference folding ``add_document`` increments into one structure
+(inverted_index_wrapper.rs:680-719).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import time
+from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +34,7 @@ from pyspark.sql import functions as F
 from seismic_spark import forward as fwd
 from seismic_spark import postings as pst
 from seismic_spark import textprep
+from seismic_spark import vocab as voc
 from seismic_spark.postings import IndexConfig
 
 DELTA_SALT_STRIDE = 1 << 16
@@ -103,6 +113,12 @@ def start_ingest(
         )
         d_fwd.write.mode("append").parquet(os.path.join(index_path, "forward"))
         d_post.write.mode("append").parquet(os.path.join(index_path, "postings"))
+        # raw material for compact(): the delta docs' tokens, kept OUTSIDE the
+        # base `tokens` snapshot so a resumed CheckpointedBuild never reuses a
+        # silently-grown stage
+        textprep.tokenize(docs.select("doc_id", "text")).select(
+            "doc_id", "tokens", "dl"
+        ).write.mode("append").parquet(os.path.join(index_path, "tokens_delta"))
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -111,3 +127,104 @@ def start_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact(
+    spark: SparkSession, index_path: str, cfg: IndexConfig | None = None,
+    id_col: str = "doc_id",
+):
+    """Fold streamed deltas into a re-trued index (the reference's
+    fold-into-one-structure, inverted_index_wrapper.rs:680-719, at rebuild
+    granularity): base ``tokens`` snapshot ∪ ``tokens_delta`` rows → fresh
+    N/avgdl/df, a GROWN vocab (delta-only terms become searchable), re-pruned
+    postings, and exact BM25 weights — byte-identical to a from-scratch
+    CheckpointedBuild over the union corpus (test_streaming_ingest pins it).
+
+    Requires the CheckpointedBuild layout (a ``tokens`` stage snapshot);
+    an index persisted with plain ``save()`` has no token material to re-true
+    from and raises.  Crash-safe by idempotence, not atomicity: the delta is
+    anti-joined on doc_id before the union, stage dirs are written to
+    ``_compact_tmp`` and swapped last, and ``tokens_delta`` is dropped only
+    after every swap — re-running a killed compact converges.  (On a cluster
+    the swap is one Iceberg REPLACE TABLE transaction.)
+
+    Returns the compacted :class:`SeismicSparkIndex`.
+    """
+    from seismic_spark.index import SeismicSparkIndex
+
+    tokens_dir = os.path.join(index_path, "tokens")
+    if not os.path.exists(tokens_dir):
+        raise ValueError(
+            "compact() needs the CheckpointedBuild layout (a `tokens` stage "
+            f"snapshot) under {index_path}; indexes persisted with save() "
+            "keep no token material to re-true weights from"
+        )
+    with open(os.path.join(index_path, "meta.json")) as f:
+        meta = json.load(f)
+    cfg = cfg or IndexConfig(**meta["config"])
+
+    t0 = time.time()
+    tokens = spark.read.parquet(tokens_dir).select(id_col, "tokens", "dl")
+    delta_dir = os.path.join(index_path, "tokens_delta")
+    if os.path.exists(delta_dir):
+        delta = spark.read.parquet(delta_dir).select(id_col, "tokens", "dl")
+        # idempotence under re-runs: drop deltas already folded into base
+        delta = delta.join(tokens.select(id_col), id_col, "left_anti")
+        tokens = tokens.unionByName(delta)
+
+    tmp = os.path.join(index_path, "_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def snap(stage: str, df: DataFrame) -> DataFrame:
+        df.write.mode("overwrite").parquet(os.path.join(tmp, stage))
+        return spark.read.parquet(os.path.join(tmp, stage))
+
+    # identical stage pipeline to CheckpointedBuild.build (checkpoint.py) —
+    # compaction == from-scratch is a determinism property of these stages
+    tokens = snap("tokens", tokens)
+    n_docs, avgdl = textprep.corpus_stats(tokens)
+    vocab = snap("vocab", voc.build_vocab(tokens, id_col))
+    n_terms = vocab.count()
+    dtw = textprep.bm25_weights(
+        textprep.term_frequencies(tokens, id_col), vocab, n_docs, avgdl, id_col
+    )
+    if cfg.value_type not in ("f64", None):
+        scale_max = None
+        if cfg.value_type in ("fixedu8", "fixedu16"):
+            scale_max = float(dtw.agg(F.max("weight")).collect()[0][0] or 0.0)
+        dtw = textprep.value_round_trip_col(dtw, cfg.value_type, scale_max)
+    dtw = snap("weights", dtw)
+    forward = snap("forward", fwd.build_forward(dtw, id_col))
+    snap("postings", pst.build_postings(dtw, forward, cfg, n_terms, id_col))
+
+    for stage in ("tokens", "vocab", "weights", "forward", "postings"):
+        dst = os.path.join(index_path, stage)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(os.path.join(tmp, stage), dst)
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    # drop any cached relations over the swapped paths (e.g. the vocab the
+    # ingest stream persisted) — otherwise load() below would be served the
+    # PRE-compaction data from the CacheManager
+    spark.catalog.refreshByPath(index_path)
+    with open(os.path.join(index_path, "meta.json"), "w") as f:
+        json.dump({"n_docs": n_docs, "avgdl": avgdl, "config": asdict(cfg)}, f)
+    # pre-compaction lineage fingerprints no longer describe the snapshots —
+    # replace them so a resumed CheckpointedBuild can't silently reuse stale
+    # stages against the original (smaller) corpus
+    with open(os.path.join(index_path, "lineage.json"), "w") as f:
+        json.dump(
+            {
+                "compaction": {
+                    "status": "complete",
+                    "n_docs": n_docs,
+                    "duration_sec": round(time.time() - t0, 2),
+                    "finished_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                }
+            },
+            f,
+            indent=1,
+        )
+    return SeismicSparkIndex.load(spark, index_path)

@@ -120,3 +120,31 @@ def test_batched_indexing_matches_unbatched(spark, docs_df, tmp_path):
     ) == w0
     lineage2 = json.load(open(os.path.join(bpath, "lineage.json")))
     assert lineage2["postings_wave_0"].get("resumed") is True
+
+
+def test_batched_global_pruning_matches_unbatched(spark, docs_df, tmp_path):
+    """pruning='global' batched waves share ONE full-corpus threshold
+    (ADVICE r2: per-wave budgets deviated from the unbatched semantics), so
+    the union of waves equals the unbatched postings table exactly — gap
+    blobs included."""
+    cfg = IndexConfig(
+        n_postings=3, pruning="global", max_fraction=1.5,
+        blocking="fixed", block_size=4,
+    )
+    plain = CheckpointedBuild(spark, str(tmp_path / "gplain")).build(docs_df, cfg)
+    batched = CheckpointedBuild(spark, str(tmp_path / "gbatched")).build(
+        docs_df, cfg, batched_indexing=3
+    )
+
+    def full_snapshot(idx):
+        rows = idx.postings.collect()
+        return sorted(
+            (
+                r.term_id, r.salt, r.n_docs, tuple(r.blocks),
+                tuple(r.block_lens), tuple(bytes(g) for g in r.doc_gaps),
+                tuple(r.block_max),
+            )
+            for r in rows
+        )
+
+    assert full_snapshot(batched) == full_snapshot(plain)

@@ -90,3 +90,28 @@ def test_fixed_round_trip_properties():
         assert out.max() <= mx + 1e-12
     # degenerate scale
     assert (codec.fixed_round_trip(v, 8, 0.0) == 0).all()
+
+
+@pytest.mark.parametrize("seed", [42, 7, 1142])
+def test_delta_decode_multi_matches_per_buffer(seed):
+    """The batched query-path decode equals per-buffer delta_decode."""
+    rng = np.random.default_rng(seed)
+    bufs, expect = [], []
+    for _ in range(60):
+        n = int(rng.integers(0, 50))
+        ids = np.unique(rng.integers(0, 2**45, size=n, dtype=np.uint64))
+        bufs.append(codec.delta_encode(ids))
+        expect.append(ids)
+    ids_all, counts = codec.delta_decode_multi(bufs)
+    assert counts.sum() == sum(e.size for e in expect)
+    off = 0
+    for i, e in enumerate(expect):
+        assert counts[i] == e.size
+        assert np.array_equal(ids_all[off : off + counts[i]], e)
+        off += counts[i]
+
+
+def test_delta_decode_multi_edges():
+    assert codec.delta_decode_multi([])[0].size == 0
+    ids, counts = codec.delta_decode_multi([b"", b""])
+    assert ids.size == 0 and list(counts) == [0, 0]
