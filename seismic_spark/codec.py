@@ -124,6 +124,42 @@ def delta_decode_multi(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return ids, counts
 
 
+# ----------------------------------------------------------- DotVByte -------
+
+
+def dotvbyte_pack(
+    terms: np.ndarray, weights: np.ndarray, scale_max: float
+) -> tuple[bytes, bytes]:
+    """DotVByte-style packed sparse row (pylib/dotvbyte.rs:22-40): ascending
+    component ids → delta-gap varint BINARY; values → fixed-point u8 codes
+    (the vectorium ``DotVByteFixedU8Encoder`` analogue).  The reference's
+    FixedU8 grid assumes values in [0,1); BM25 weights aren't, so the grid is
+    scaled by the corpus max weight — the same documented adaptation as the
+    ``fixedu8`` value type (codec.fixed_round_trip).
+    """
+    t = np.asarray(terms, dtype=np.uint64)
+    tbuf = delta_encode(t)
+    if scale_max <= 0.0:
+        return tbuf, np.zeros(t.size, dtype=np.uint8).tobytes()
+    delta = float(scale_max) / 255
+    codes = np.clip(
+        np.floor(np.asarray(weights, dtype=np.float64) / delta + 0.5), 0, 255
+    ).astype(np.uint8)
+    return tbuf, codes.tobytes()
+
+
+def dotvbyte_unpack(
+    tbuf: bytes, codes: bytes, scale_max: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of :func:`dotvbyte_pack`; decoded values sit exactly on the
+    ``fixed_round_trip(·, 8, scale_max)`` grid, so an index built with
+    ``value_type='fixedu8'`` survives the pack/unpack LOSSLESSLY."""
+    t = delta_decode(tbuf).astype(np.int64)
+    c = np.frombuffer(codes, dtype=np.uint8)
+    delta = float(scale_max) / 255 if scale_max > 0.0 else 0.0
+    return t, c.astype(np.float64) * delta
+
+
 # ---------------------------------------------------------- segment sums ----
 
 

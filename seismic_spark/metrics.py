@@ -51,6 +51,47 @@ def mrr_at_k(got: DataFrame, qrels: DataFrame, k: int = 10) -> float:
     return round(float(s) / n_q, 4)
 
 
+def ndcg_at_k(got: DataFrame, qrels: DataFrame, k: int = 10) -> float:
+    """nDCG@k with graded relevance — the third common ir_measures metric of
+    the reference's harness (scripts/run_experiments.py:242-284) after
+    Accuracy@k and MRR@k.  ``qrels``: (query_id, doc_id, rel DOUBLE).
+
+    gain = (2^rel − 1) / log2(rank + 1); IDCG ranks each query's rels
+    descending; queries with zero ideal gain contribute 0; the mean is over
+    the distinct queries in ``qrels``.
+    """
+    from pyspark.sql import Window
+
+    n_q = qrels.select("query_id").distinct().count()
+    if n_q == 0:
+        return 0.0
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("rank") + 1.0)
+    dcg = (
+        got.filter(F.col("rank") <= k)
+        .join(qrels, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    idcg = (
+        qrels.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(gain).alias("idcg"))
+    )
+    per_q = idcg.join(dcg, "query_id", "left").select(
+        F.when(
+            F.col("idcg") > 0, F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg")
+    )
+    s = per_q.agg(F.sum("ndcg")).collect()[0][0] or 0.0
+    return round(float(s) / n_q, 4)
+
+
 def recall_grid(
     index,
     queries: list[tuple[str, list[str], list[float]]],

@@ -158,10 +158,21 @@ def ivf_assign(
     )
 
 
-def ivf_centroids(corpus: DataFrame, n_cells: int, dim: int) -> np.ndarray:
+def ivf_centroids(
+    corpus: DataFrame, n_cells: int, dim: int, lloyd_iters: int = 0
+) -> np.ndarray:
     """Deterministic IVF centroids: sample n_cells corpus vectors by the
     smallest md5-derived sample key (order-independent, retry-safe), collect
-    to the driver (n_cells × dim floats — tiny)."""
+    to the driver (n_cells × dim floats — tiny).
+
+    ``lloyd_iters`` > 0 runs that many distributed Lloyd refinements
+    (assign → per-cell mean): on clustered real embeddings an unrefined
+    random sample skews (one mega-cell = one hot partition at 10^9 vectors);
+    a couple of mean updates spreads the centroids and bounds the max cell
+    (test_operators asserts the skew bound).  Each iteration is one
+    assign-join-aggregate job; means are rounded to 6dp so the centroids are
+    stable across partitionings; empty cells keep their previous centroid.
+    """
     from seismic_spark.functions.hashing import md5_int
 
     rows = (
@@ -171,7 +182,22 @@ def ivf_centroids(corpus: DataFrame, n_cells: int, dim: int) -> np.ndarray:
         .limit(n_cells)
         .collect()
     )
-    return np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    C = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(corpus, C, n_probe=1).join(
+            corpus.select("vec_id", "embedding"), "vec_id"
+        )
+        means = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .collect()
+        )
+        C2 = C.copy()  # cells with no members keep their previous centroid
+        for r in means:
+            C2[r.cell, r.pos] = r.m
+        C = C2
+    return C
 
 
 def ivf_bucketed_topk(
@@ -181,13 +207,16 @@ def ivf_bucketed_topk(
     n_cells: int = 16,
     n_probe: int = 2,
     dim: int = 64,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate cosine top-k — the second scale path
     the build brief names besides LSH: corpus vectors are partitioned into
     ``n_cells`` centroid cells (the cell id is the 10^9-vector partition
     key); each query probes its ``n_probe`` nearest cells and exact-rescored
-    candidates come only from those cells."""
-    cents = ivf_centroids(corpus, n_cells, dim)
+    candidates come only from those cells.  ``lloyd_iters`` refines the
+    sampled centroids (see :func:`ivf_centroids`) to bound cell skew on
+    clustered corpora."""
+    cents = ivf_centroids(corpus, n_cells, dim, lloyd_iters)
     cb = ivf_assign(corpus, cents, n_probe=1)
     qb = ivf_assign(queries, cents, n_probe=n_probe).withColumnRenamed(
         "vec_id", "query_id"

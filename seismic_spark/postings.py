@@ -73,6 +73,12 @@ class IndexConfig:
     min_cluster_size: int = 2
     kmeans_doc_cut: int = 15
     kmeans_seed: int = 1142  # reference's approx-kmeans seed (utils.rs:163)
+    kmeans_mode: str = "approx"  # "approx" (B5, reference default,
+    # configurations.rs:115) | "ii" (B4: pruned centroid mini-index generates
+    # candidates, EXACT dots on touched centroids decide —
+    # utils.rs:316-412 via compute_centroid_assignments_dot_product)
+    kmeans_pruning_factor: float = 0.005  # B4 pruned-list size factor
+    # (pruned_list_size = max(5, len·factor), RustUsage.md:33)
     summary_energy: float = 1.0  # 1.0 = exact upper-bound summaries
     quant_ceil: bool = True  # round-up codes → dequant ≥ true max
     blocks_per_row: int = 4096  # salt rows so one list row stays bounded
@@ -289,7 +295,11 @@ def kmeans_blocks(
     the reference draws centroids from one global RNG stream (seed 1142);
     a distributed engine needs per-list determinism under task retries, so
     the stream is keyed by (kmeans_seed, term_id) via Philox counters.
+
+    ``cfg.kmeans_mode='ii'`` dispatches to :func:`kmeans_blocks_ii` (B4).
     """
+    if cfg.kmeans_mode == "ii":
+        return kmeans_blocks_ii(d_terms, d_weights, cfg, term_id)
     n = len(d_terms)
     k = max(1, int(cfg.centroid_fraction * n))
     if n <= 1 or k >= n:
@@ -362,6 +372,125 @@ def kmeans_blocks(
         dissolved = ~surviving[a]
         a[dissolved] = surv_ids[a_surv[dissolved]]
         # renumber to dense block ids in surviving-centroid order
+        remap = -np.ones(k, dtype=np.int32)
+        remap[surv_ids] = np.arange(surv_ids.size, dtype=np.int32)
+        a = remap[a]
+    return a.astype(np.int32)
+
+
+def kmeans_blocks_ii(
+    d_terms: list[np.ndarray],
+    d_weights: list[np.ndarray],
+    cfg: IndexConfig,
+    term_id: int,
+) -> np.ndarray:
+    """B4 — II-accelerated k-means assignment with exact re-scoring
+    (utils.rs:316-412 ``do_random_kmeans_on_docids_ii_dot_product``):
+
+    - a mini inverted index over the CENTROIDS keeps, per component, the
+      ``max(5, n·kmeans_pruning_factor)`` centroids with the largest value;
+    - each doc's candidate centroids = union of the pruned lists of its top
+      ``kmeans_doc_cut`` components;
+    - the winner is the EXACT full-vector dot-product argmax over candidates
+      only (a centroid the mini-index never surfaces cannot win — that is
+      the approximation), requiring dot > 0 to beat the default (first
+      allowed centroid, utils.rs:284-285);
+    - a centroid doc always assigns to itself (utils.rs:260-263);
+    - clusters ≤ min_cluster_size dissolve; members reassign among survivors
+      through the same candidate flow (utils.rs:367-401).
+
+    Deterministic deviations (documented, SURVEY.md §7.3): Philox
+    (kmeans_seed, term_id) centroid draw instead of the reference's global
+    seed-42 stream; dot ties broken toward the lowest centroid index.
+    """
+    n = len(d_terms)
+    k = max(1, int(cfg.centroid_fraction * n))
+    if n <= 1 or k >= n:
+        return np.zeros(n, dtype=np.int32)
+    rng = np.random.Generator(
+        np.random.Philox(key=[cfg.kmeans_seed, term_id & 0x7FFFFFFF])
+    )
+    centroid_idx = rng.choice(n, size=k, replace=False)
+    centroid_idx.sort()
+
+    c_terms = np.unique(np.concatenate([d_terms[i] for i in centroid_idx]))
+    C = np.zeros((c_terms.size, k), dtype=np.float32)
+    for j, i in enumerate(centroid_idx):
+        rows = np.searchsorted(c_terms, d_terms[i])
+        C[rows, j] = d_weights[i]
+
+    # ---- full flatten (exact dots use FULL doc vectors) ------------------
+    lens = np.fromiter((t.size for t in d_terms), dtype=np.int64, count=n)
+    t_all = np.concatenate(d_terms) if lens.sum() else np.empty(0, np.int64)
+    w_all = np.concatenate(d_weights) if lens.sum() else np.empty(0, np.float64)
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    rows = np.searchsorted(c_terms, t_all)
+    rows_c = np.minimum(rows, max(c_terms.size - 1, 0))
+    hit = c_terms[rows_c] == t_all if c_terms.size else np.zeros(t_all.size, bool)
+    wh = np.where(hit, w_all, 0.0).astype(np.float32)
+    cnt = np.bincount(doc_rep, minlength=n)
+    starts = np.cumsum(cnt) - cnt
+
+    # exact (n × k) score matrix, chunked like the approx path
+    S = np.zeros((n, k), dtype=np.float32)
+    elems_per_chunk = max(1, 8_000_000 // max(k, 1))
+    d0 = 0
+    while d0 < n:
+        d1 = d0
+        acc = 0
+        while d1 < n and (acc == 0 or acc + cnt[d1] <= elems_per_chunk):
+            acc += cnt[d1]
+            d1 += 1
+        s, e = starts[d0], starts[d1 - 1] + cnt[d1 - 1]
+        if e > s:
+            contrib = wh[s:e, None] * C[rows_c[s:e]]
+            local = np.arange(d0, d1)[cnt[d0:d1] > 0]
+            if local.size:
+                S[local] = np.add.reduceat(contrib, starts[local] - s, axis=0)
+        d0 = d1
+
+    # ---- candidate mask from the pruned centroid mini-index --------------
+    pls = max(5, int(n * cfg.kmeans_pruning_factor))
+    # per-component rank of each centroid by (value desc, centroid idx asc)
+    order = np.argsort(-C, axis=1, kind="stable")
+    ranks = np.empty_like(order)
+    np.put_along_axis(ranks, order, np.broadcast_to(np.arange(k), order.shape).copy(), axis=1)
+    P = (C > 0) & (ranks < pls)  # (c_terms × k) pruned-list membership
+
+    # doc's top-doc_cut components (same selection as the approx path)
+    sel_t, sel_doc = t_all, doc_rep
+    if lens.max(initial=0) > cfg.kmeans_doc_cut:
+        pos = np.arange(t_all.size, dtype=np.int64)
+        o = np.lexsort((pos, -w_all, doc_rep))
+        sorted_starts = np.cumsum(lens) - lens
+        rank = pos - np.repeat(sorted_starts, lens)
+        sel = np.sort(o[rank < cfg.kmeans_doc_cut])
+        sel_t, sel_doc = t_all[sel], doc_rep[sel]
+    sel_rows = np.searchsorted(c_terms, sel_t)
+    sel_rows_c = np.minimum(sel_rows, max(c_terms.size - 1, 0))
+    sel_hit = (
+        c_terms[sel_rows_c] == sel_t if c_terms.size else np.zeros(sel_t.size, bool)
+    )
+    M = np.zeros((n, k), dtype=bool)
+    if sel_hit.any():
+        np.logical_or.at(M, sel_doc[sel_hit], P[sel_rows_c[sel_hit]])
+
+    def masked_assign(allowed: np.ndarray) -> np.ndarray:
+        Sm = np.where(M & allowed, S, np.float32(0.0))
+        a_ = np.argmax(Sm, axis=1).astype(np.int32)
+        won = Sm[np.arange(n), a_] > 0
+        default = int(np.flatnonzero(allowed)[0])
+        return np.where(won, a_, np.int32(default)).astype(np.int32)
+
+    a = masked_assign(np.ones(k, dtype=bool))
+    a[centroid_idx] = np.arange(k, dtype=np.int32)  # self-assignment
+    counts = np.bincount(a, minlength=k)
+    surviving = counts > cfg.min_cluster_size
+    if surviving.any() and not surviving.all():
+        surv_ids = np.flatnonzero(surviving)
+        a2 = masked_assign(surviving)
+        dissolved = ~surviving[a]
+        a[dissolved] = a2[dissolved]
         remap = -np.ones(k, dtype=np.int32)
         remap[surv_ids] = np.arange(surv_ids.size, dtype=np.int32)
         a = remap[a]

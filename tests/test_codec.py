@@ -115,3 +115,27 @@ def test_delta_decode_multi_edges():
     assert codec.delta_decode_multi([])[0].size == 0
     ids, counts = codec.delta_decode_multi([b"", b""])
     assert ids.size == 0 and list(counts) == [0, 0]
+
+
+@pytest.mark.parametrize("seed", [0, 42])
+def test_dotvbyte_pack_roundtrip(seed):
+    """DotVByte pack/unpack: term ids exact, values land on the fixedu8 grid
+    (pylib/dotvbyte.rs analogue — FixedU8 conversion is lossy by design,
+    lossless for values already on the grid)."""
+    rng = np.random.default_rng(seed)
+    for _ in range(30):
+        n = int(rng.integers(1, 80))
+        t = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+        w = rng.uniform(0.0, 25.0, size=n)
+        scale = 25.0
+        tb, wb = codec.dotvbyte_pack(t, w, scale)
+        t2, w2 = codec.dotvbyte_unpack(tb, wb, scale)
+        assert np.array_equal(t2, t)
+        assert np.array_equal(w2, codec.fixed_round_trip(w, 8, scale))
+        # idempotent on grid values (lossless second trip)
+        tb2, wb2 = codec.dotvbyte_pack(t2, w2, scale)
+        assert wb2 == wb and tb2 == tb
+    # degenerate scale
+    tb, wb = codec.dotvbyte_pack(np.array([3]), np.array([1.0]), 0.0)
+    t2, w2 = codec.dotvbyte_unpack(tb, wb, 0.0)
+    assert list(t2) == [3] and list(w2) == [0.0]

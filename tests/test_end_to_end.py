@@ -108,3 +108,95 @@ def test_convert_value_type_q13(spark, tiny_index):
     exp = {(r.query_id, r.rank, r.doc_id)
            for r in conv.bruteforce(queries, k=3).collect()}
     assert got == exp
+
+
+def test_dotvbyte_packed_save_load(spark, tmp_path):
+    """DotVByte-analogue packed forward storage (pylib/dotvbyte.rs:24-40):
+    save(packed_values=True) → load → identical search results when the
+    index was built with value_type='fixedu8' (values already on the u8
+    grid), and the packed forward snapshot is smaller on disk."""
+    import os
+
+    pages = synth_pages(spark, 300, vocab_size=500, seed=11)
+    docs = pages.select("url", "text").withColumn(
+        "doc_id", F.abs(F.xxhash64("url"))
+    )
+    cfg = IndexConfig(n_postings=100, value_type="fixedu8")
+    idx = SeismicSparkIndex.build(spark, docs, cfg)
+    queries = synth_queries(500, n_queries=8, seed=3)
+
+    plain, packed = str(tmp_path / "plain"), str(tmp_path / "packed")
+    idx.save(plain)
+    idx.save(packed, packed_values=True)
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    assert dir_bytes(os.path.join(packed, "forward")) < dir_bytes(
+        os.path.join(plain, "forward")
+    )
+
+    loaded = SeismicSparkIndex.load(spark, packed)
+    want = {
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in idx.batch_search(queries, k=10, heap_factor=1.0).collect()
+    }
+    got = {
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in loaded.batch_search(queries, k=10, heap_factor=1.0).collect()
+    }
+    assert got == want and got
+
+
+def test_term_bucket_partition_pruning(spark, tmp_path):
+    """save(partitions_by_term_hash=N) writes a real term_bucket partition
+    column; a query's bucket filter must (a) read strictly fewer files than a
+    full scan — counted via input_file_name over the pruned scan — and
+    (b) return identical results to the unpartitioned index."""
+    import os
+
+    pages = synth_pages(spark, 300, vocab_size=400, seed=5)
+    docs = pages.select("url", "text").withColumn(
+        "doc_id", F.abs(F.xxhash64("url"))
+    )
+    idx = SeismicSparkIndex.build(
+        spark, docs, IndexConfig(n_postings=100, blocking="fixed", block_size=8)
+    )
+    path = str(tmp_path / "bucketed")
+    idx.save(path, partitions_by_term_hash=16)
+    loaded = SeismicSparkIndex.load(spark, path)
+    assert loaded.term_buckets == 16
+
+    queries = synth_queries(400, n_queries=3, seed=9)
+    from seismic_spark import search as srch
+
+    qvecs = srch.resolve_queries(spark, queries, loaded.vocab)
+    pruned = loaded._postings_for(qvecs)
+    files_pruned = (
+        pruned.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    files_total = (
+        loaded.postings.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    n_buckets_hit = len(
+        {int(t) % 16 for ts, _ in qvecs.values() for t in ts}
+    )
+    assert n_buckets_hit < 16  # the probe is meaningful
+    assert files_pruned < files_total
+    # and the plan prunes at the partition level, not a post-scan filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan
+
+    want = {
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in idx.batch_search(queries, k=10, heap_factor=1.0).collect()
+    }
+    got = {
+        (r.query_id, r.rank, r.doc_id, round(r.score, 6))
+        for r in loaded.batch_search(queries, k=10, heap_factor=1.0).collect()
+    }
+    assert got == want and got

@@ -162,3 +162,28 @@ def test_mrr_at_k_definition(spark):
     )
     # a: first relevant at rank 2 → 1/2; b: rank 3 → 1/3; c,d: no hit → 0
     assert mrr_at_k(got, qrels, k=10) == round((0.5 + 1/3) / 4, 4)
+
+
+def test_ndcg_at_k_definition(spark):
+    """Pinned hand-computed nDCG@3 (graded rels, (2^rel−1)/log2(rank+1))."""
+    from math import log2
+
+    from seismic_spark.metrics import ndcg_at_k
+
+    got = spark.createDataFrame(
+        [("q1", 1, 2, 9.0), ("q1", 2, 1, 8.0), ("q1", 3, 4, 7.0),
+         ("q2", 1, 5, 9.0), ("q2", 2, 9, 8.0),
+         ("q3", 1, 7, 9.0)],
+        "query_id STRING, rank INT, doc_id BIGINT, score DOUBLE",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", 1, 3.0), ("q1", 2, 2.0), ("q1", 3, 1.0),
+         ("q2", 9, 1.0),
+         ("q3", 8, 0.0)],  # zero ideal gain → contributes 0
+        "query_id STRING, doc_id BIGINT, rel DOUBLE",
+    )
+    dcg1 = 3 / log2(2) + 7 / log2(3)            # d2 at rank1, d1 at rank2
+    idcg1 = 7 / log2(2) + 3 / log2(3) + 1 / log2(4)
+    dcg2 = 1 / log2(3)                           # d9 at rank2
+    want = round((dcg1 / idcg1 + dcg2 / 1.0 + 0.0) / 3, 4)
+    assert ndcg_at_k(got, qrels, k=3) == want

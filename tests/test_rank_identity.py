@@ -92,6 +92,24 @@ def corpus(spark):
             8,
             False,
         ),
+        # B4 — II-accelerated k-means assign (utils.rs:316-412)
+        (
+            IndexConfig(
+                n_postings=40, summary_energy=0.6, blocking="kmeans",
+                centroid_fraction=0.2, min_cluster_size=2,
+                kmeans_mode="ii", kmeans_pruning_factor=0.1, kmeans_doc_cut=8,
+            ),
+            0.8,
+            8,
+            False,
+        ),
+        # fixedu16 value storage (TomlInstructions.md:100-101) end-to-end
+        (
+            IndexConfig(n_postings=60, summary_energy=0.6, value_type="fixedu16"),
+            0.8,
+            10,
+            False,
+        ),
     ],
 )
 def test_rank_identity_vs_numpy_oracle(spark, corpus, cfg, hf, qc, tp):
