@@ -145,6 +145,66 @@ SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= {k}
 """
 
 
+def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
+    """DuckDB twin of operators/ann.ivf_bucketed_topk (md5-sampled
+    centroids): centroid j = corpus vector with the j-th smallest
+    md5('ivf_' || vec_id) key; assignment = argmax of the 6dp-rounded cosine
+    (ties → lower cell); corpus vectors live in 1 cell, queries probe
+    ``n_probe``; candidates re-scored with the fold dot at 4dp."""
+
+    def fold_dot(e1: str, e2: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, len({e1}) + 1), "
+            f"i -> {e1}[i]::DOUBLE * {e2}[i]::DOUBLE)), (a, b) -> a + b)"
+        )
+
+    def fold_norm(e: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, list_transform({e}, "
+            f"x -> x::DOUBLE * x::DOUBLE)), (a, b) -> a + b))"
+        )
+
+    key = md5_int_sql("'ivf_' || vec_id")
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+cent AS (SELECT CAST(row_number() OVER (ORDER BY {key}) - 1 AS INT) AS cell,
+                embedding
+         FROM c ORDER BY {key} LIMIT {n_cells}),
+csim AS (SELECT c.vec_id, cent.cell,
+                round({fold_dot('c.embedding', 'cent.embedding')}
+                      / ({fold_norm('c.embedding')} * {fold_norm('cent.embedding')}),
+                      6) AS sim
+         FROM c, cent),
+cassign AS (SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM csim) WHERE rn = 1),
+qsim AS (SELECT q.vec_id, cent.cell,
+                round({fold_dot('q.embedding', 'cent.embedding')}
+                      / ({fold_norm('q.embedding')} * {fold_norm('cent.embedding')}),
+                      6) AS sim
+         FROM q, cent),
+qassign AS (SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM qsim) WHERE rn <= {n_probe}),
+cand AS (SELECT DISTINCT query_id, cassign.vec_id
+         FROM qassign JOIN cassign USING (cell)),
+p AS (SELECT cand.query_id, cand.vec_id,
+             round({fold_dot('q.embedding', 'c.embedding')}
+                   / ({fold_norm('q.embedding')} * {fold_norm('c.embedding')}),
+                   4) AS cosine
+      FROM cand JOIN q ON q.vec_id = cand.query_id
+                JOIN c ON c.vec_id = cand.vec_id),
+r AS (SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank,
+             vec_id, cosine FROM p)
+SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= {k}
+"""
+
+
 def _vocab_sql() -> str:
     return f"""
 WITH tok AS (SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents),
@@ -329,6 +389,24 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_topk(q, c, k=5, n_planes=6, dim=64)
 
 
+IVF_CELLS, IVF_PROBE = 8, 2
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF bucketed ANN with md5-sampled centroids (no Lloyd — the sampled
+    variant is exactly SQL-expressible; Lloyd refinement is covered by
+    test_operators)."""
+    from seismic_spark.operators.ann import ivf_bucketed_topk
+
+    _tune(spark)
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    c = emb.filter(F.col("vec_id") % 50 != 0)
+    return ivf_bucketed_topk(
+        q, c, k=5, n_cells=IVF_CELLS, n_probe=IVF_PROBE, dim=64
+    )
+
+
 def _q_knn_graph(spark, sf_dir):
     """Q8 as ONE distributed job: forward-as-queries self-search (no driver
     collect) — exact config (unpruned, hf=1.0) so the DuckDB brute-force
@@ -401,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "knn_graph": _q_knn_graph,
         "multimodal_decode": _q_multimodal,
         "events_hourly": _q_events_hourly,
@@ -538,6 +617,7 @@ FROM s GROUP BY doc_id
 """,
         "ngram_jaccard": jaccard_sql,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "knn_graph": f"""
 WITH docs AS (SELECT doc_id, {TOK} AS toks FROM documents),
 stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM docs),

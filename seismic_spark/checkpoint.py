@@ -191,17 +191,21 @@ class CheckpointedBuild:
         cluster reading object storage."""
         cfg = cfg or IndexConfig()
         t_start = time.time()
-        # one scan: row count + an order-insensitive content signature, so
-        # resuming against a MODIFIED corpus with the same row count can't
-        # silently reuse stale snapshots (fingerprint = f(config, data)).
-        sig_row = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("sig"),
-        ).collect()[0]
-        n_docs = int(sig_row["n"])
-        base_fp = _fingerprint(
-            cfg, {"n_docs": n_docs, "content_sig": int(sig_row["sig"] or 0)}
-        )
+        if self.resume:
+            # one scan: row count + an order-insensitive content signature,
+            # so resuming against a MODIFIED corpus with the same row count
+            # can't silently reuse stale snapshots (fingerprint = f(cfg, data))
+            sig_row = docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("sig"),
+            ).collect()[0]
+            n_docs, sig = int(sig_row["n"]), int(sig_row["sig"] or 0)
+        else:
+            # resume=False never reuses snapshots, so the content hash buys
+            # nothing — take the (metadata-cheap on parquet) count only
+            n_docs, sig = docs.count(), 0
+        self.metrics["fingerprint_sec"] = round(time.time() - t_start, 2)
+        base_fp = _fingerprint(cfg, {"n_docs": n_docs, "content_sig": sig})
 
         tokens = self._run_stage(
             "tokens",
@@ -210,12 +214,16 @@ class CheckpointedBuild:
                 id_col, "tokens", "dl"
             ),
         )
+        t0 = time.time()
         _, avgdl = textprep.corpus_stats(tokens)
+        self.metrics["corpus_stats_sec"] = round(time.time() - t0, 2)
 
         vocab = self._run_stage(
             "vocab", base_fp, lambda: voc.build_vocab(tokens, id_col)
         )
+        t0 = time.time()
         n_terms = vocab.count()
+        self.metrics["vocab_count_sec"] = round(time.time() - t0, 2)
 
         def _weights() -> DataFrame:
             dtw = textprep.bm25_weights(

@@ -143,7 +143,10 @@ def ivf_assign(
                 continue
             E = np.vstack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
             En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
-            sims = En @ Cn.T
+            # 6dp rounding pins the argmax against summation-order float
+            # wobble, so the SQL oracle (dot/(|a||b|) computed fold-wise)
+            # picks identical cells; ties → lower cell id (stable argsort)
+            sims = np.round(En @ Cn.T, 6)
             top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             n = len(pdf)
             yield pd.DataFrame(

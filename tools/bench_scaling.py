@@ -103,11 +103,13 @@ for rep in range(3):  # first rep includes Python-worker warmup; keep all
 
 spark.stop()
 search_med = sorted(searches)[len(searches) // 2]
+stage_metrics = json.load(open(ckpt_path + "/metrics.json"))
 print("RESULT " + json.dumps({
     "cores": cores_max, "build_sec": round(build_sec, 2),
     "search_secs": searches, "search_sec": search_med,
     "build_docs_per_sec": round(n_docs / build_sec, 1),
     "search_qps": round(len(qs) / search_med, 2),
+    "stages": {k: v for k, v in stage_metrics.items() if k.endswith("_sec")},
 }))
 """
 
