@@ -81,21 +81,30 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
     timings["search_exact"] = round(time.time() - t0, 3)
     extras["search_exact_qps"] = round(len(qs) / timings["search_exact"], 2)
 
+    # the estimate-summary serving config that WINS at 1M docs
+    # (BENCH/BASELINE.md round-3 table: kmeans blocking + energy=0.5,
+    # hf=0.9 → 1.82× exact QPS at Accuracy@10=0.988)
     t0 = time.time()
     idx_pruned = SeismicSparkIndex.build(
-        spark, docs, IndexConfig(n_postings=1000, pruning="fixed", summary_energy=0.8)
+        spark, docs, IndexConfig(
+            n_postings=1000, pruning="fixed", blocking="kmeans",
+            centroid_fraction=0.1, min_cluster_size=2, kmeans_doc_cut=15,
+            summary_energy=0.5, quant_ceil=False,
+        )
     )
     idx_pruned.postings.count()
     timings["build_pruned"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    idx_pruned.batch_search(qs, k=10, query_cut=10, heap_factor=0.8).count()
+    idx_pruned.batch_search(
+        qs, k=10, query_cut=10, heap_factor=0.9, two_phase=False
+    ).count()
     timings["search_pruned"] = round(time.time() - t0, 3)
     extras["search_pruned_qps"] = round(len(qs) / timings["search_pruned"], 2)
 
     t0 = time.time()
     idx_pruned.batch_search(
-        qs, k=10, query_cut=10, heap_factor=0.8, two_phase=True
+        qs, k=10, query_cut=10, heap_factor=0.9, two_phase=True
     ).count()
     timings["search_2p"] = round(time.time() - t0, 3)
     extras["search_2p_qps"] = round(len(qs) / timings["search_2p"], 2)
@@ -138,7 +147,7 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
     spark.stop()
     total = round(sum(timings.values()), 3)
     return {
-        "metric": "seismic_spark headline suite wall time (build + top-10 batch search + knn graph + dedup + ann; knn is new in r2)",
+        "metric": "seismic_spark headline suite wall time (build + top-10 batch search + knn graph + dedup + ann; r3: pruned config = the kmeans/e0.5/hf0.9 winner from BENCH/BASELINE.md)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -89,6 +89,41 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(gaps, dtype=np.uint64)
 
 
+def delta_encode_multi(
+    flat_ids: np.ndarray, counts: np.ndarray
+) -> tuple[bytes, np.ndarray]:
+    """Delta-gap + varint encode MANY strictly-increasing id rows in one
+    vectorized pass (inverse of :func:`delta_decode_multi`).
+
+    ``flat_ids`` is the row-major concatenation of the rows, ``counts`` the
+    per-row lengths.  Returns ``(buf, byte_lens)``: the concatenated encoded
+    bytes and the encoded byte length of each row (so callers can slice
+    ``buf`` back into per-row buffers).  This is the build-path forward-vector
+    packer: a per-row ``delta_encode`` loop over millions of docs would pay
+    numpy call overhead per row; here the gap computation, byte-count
+    computation and byte scatter run once over the whole Arrow batch.
+    """
+    ids = np.asarray(flat_ids, dtype=np.uint64)
+    counts = np.asarray(counts, dtype=np.int64)
+    if ids.size == 0:
+        return b"", np.zeros(counts.size, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    gaps = np.empty_like(ids)
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[0] = ids[0]
+    nz = starts[counts > 0]
+    gaps[nz] = ids[nz]  # each row restarts at its absolute first id
+    # bytes per value (1..10), then per-row byte lengths via reduceat
+    nb = np.ones(gaps.size, dtype=np.int64)
+    for t in _VARINT_THRESHOLDS:
+        nb += (gaps >= t).astype(np.int64)
+    byte_lens = np.zeros(counts.size, dtype=np.int64)
+    if nz.size:
+        sums = np.add.reduceat(nb, starts[counts > 0])
+        byte_lens[counts > 0] = sums
+    return varint_encode(gaps), byte_lens
+
+
 def delta_decode_multi(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """Decode MANY delta-gap varint buffers in one vectorized pass.
 

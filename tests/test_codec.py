@@ -139,3 +139,49 @@ def test_dotvbyte_pack_roundtrip(seed):
     tb, wb = codec.dotvbyte_pack(np.array([3]), np.array([1.0]), 0.0)
     t2, w2 = codec.dotvbyte_unpack(tb, wb, 0.0)
     assert list(t2) == [3] and list(w2) == [0.0]
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_delta_encode_multi_matches_per_row(seed):
+    """The batched build-path encode is byte-identical to per-row
+    delta_encode (inverse pair of delta_decode_multi) — this is what makes
+    the vectorized DotVByte forward packer (index.save packed_values) safe."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for _ in range(80):
+        n = int(rng.integers(0, 60))
+        rows.append(
+            np.unique(rng.integers(0, 2**45, size=n, dtype=np.uint64))
+        )
+    counts = np.array([r.size for r in rows], dtype=np.int64)
+    flat = (
+        np.concatenate(rows) if counts.sum() else np.empty(0, dtype=np.uint64)
+    )
+    buf, lens = codec.delta_encode_multi(flat, counts)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    for i, r in enumerate(rows):
+        assert buf[starts[i] : ends[i]] == codec.delta_encode(r)
+    # round-trips through the batched decoder
+    ids, cnts = codec.delta_decode_multi(
+        [buf[s:e] for s, e in zip(starts, ends)]
+    )
+    assert np.array_equal(cnts, counts)
+    assert np.array_equal(ids, flat)
+
+
+def test_delta_encode_multi_edges():
+    buf, lens = codec.delta_encode_multi(
+        np.empty(0, dtype=np.uint64), np.zeros(3, dtype=np.int64)
+    )
+    assert buf == b"" and list(lens) == [0, 0, 0]
+    # zero-count rows interleaved with data rows
+    flat = np.array([5, 9, 1000], dtype=np.uint64)
+    buf, lens = codec.delta_encode_multi(
+        flat, np.array([0, 2, 0, 1, 0], dtype=np.int64)
+    )
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    assert buf[starts[1] : ends[1]] == codec.delta_encode(flat[:2])
+    assert buf[starts[3] : ends[3]] == codec.delta_encode(flat[2:])
+    assert lens[0] == lens[2] == lens[4] == 0

@@ -148,6 +148,25 @@ def stop_cluster() -> None:
 
 
 def run_level(cores_max: int, n_docs: int, vocab: int) -> dict:
+    """Run one parallelism level, bracketed by host-memory canaries.
+
+    This VM suffers host-level page-supply throttling (tools/canary.py):
+    first-touch of new pages intermittently drops 30-100x while CPU and
+    established-page bandwidth stay full speed.  A sample measured in such a
+    window is meaningless, so each level records the canary before and after
+    and the summary marks levels whose canaries are degraded.
+    """
+    from canary import measure  # tools/ is on sys.path when run as a script
+
+    pre = measure()
+    res = _run_level_inner(cores_max, n_docs, vocab)
+    post = measure()
+    res["canary_pre_mbps"] = pre["first_touch_mbps"]
+    res["canary_post_mbps"] = post["first_touch_mbps"]
+    return res
+
+
+def _run_level_inner(cores_max: int, n_docs: int, vocab: int) -> dict:
     code = (
         CHILD.replace("@REPO@", REPO)
         .replace("@CORES@", str(cores_max))
