@@ -140,14 +140,18 @@ class CheckpointedBuild:
         """
         out_root = self._dir("postings")
         os.makedirs(out_root, exist_ok=True)
+        # the global threshold is a deterministic function of (cfg, data),
+        # both already captured by base_fp — so waves fingerprint on base_fp
+        # alone and the (count + iterative approxQuantile) cut computation is
+        # deferred until some wave actually needs building: resuming a
+        # FINISHED build is a pure metadata no-op, no full-corpus passes
         global_cut = None
-        if cfg.pruning == "global":
-            global_cut = pst.global_threshold_cut(dtw, n_terms * cfg.n_postings)
+        cut_computed = cfg.pruning != "global"
         for w in range(n_batches):
             stage = f"postings_wave_{w}"
             fp = _fingerprint(
                 cfg,
-                {"base": base_fp, "wave": w, "of": n_batches, "gcut": global_cut},
+                {"base": base_fp, "wave": w, "of": n_batches},
             )
             wave_dir = os.path.join(out_root, f"wave={w}")
             rec = self.lineage.get(stage)
@@ -161,6 +165,11 @@ class CheckpointedBuild:
                 self.lineage[stage]["resumed"] = True
                 continue
             t0 = time.time()
+            if not cut_computed:
+                global_cut = pst.global_threshold_cut(
+                    dtw, n_terms * cfg.n_postings
+                )
+                cut_computed = True
             wave_dtw = dtw.filter(F.pmod(F.col("term_id"), F.lit(n_batches)) == w)
             pst.build_postings(
                 wave_dtw, forward, cfg, n_terms, id_col, global_cut=global_cut
@@ -191,19 +200,17 @@ class CheckpointedBuild:
         cluster reading object storage."""
         cfg = cfg or IndexConfig()
         t_start = time.time()
-        if self.resume:
-            # one scan: row count + an order-insensitive content signature,
-            # so resuming against a MODIFIED corpus with the same row count
-            # can't silently reuse stale snapshots (fingerprint = f(cfg, data))
-            sig_row = docs.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("sig"),
-            ).collect()[0]
-            n_docs, sig = int(sig_row["n"]), int(sig_row["sig"] or 0)
-        else:
-            # resume=False never reuses snapshots, so the content hash buys
-            # nothing — take the (metadata-cheap on parquet) count only
-            n_docs, sig = docs.count(), 0
+        # one scan: row count + an order-insensitive content signature, so
+        # resuming against a MODIFIED corpus with the same row count can't
+        # silently reuse stale snapshots (fingerprint = f(cfg, data)).
+        # Computed even when resume=False: THIS build's lineage must carry
+        # the real signature or a later resume=True run over the identical
+        # corpus could never reuse the snapshots it just wrote.
+        sig_row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.col(id_col), F.col(text_col))).alias("sig"),
+        ).collect()[0]
+        n_docs, sig = int(sig_row["n"]), int(sig_row["sig"] or 0)
         self.metrics["fingerprint_sec"] = round(time.time() - t_start, 2)
         base_fp = _fingerprint(cfg, {"n_docs": n_docs, "content_sig": sig})
 

@@ -109,11 +109,16 @@ class SeismicSparkIndex:
         the first_sorted-style θ tightening (search.py); the default (None)
         mirrors the reference's ``sorted=True`` default (pylib/mod.rs:490-533):
         ON whenever it can pay — when summaries are estimates
-        (summary_energy < 1) or the search itself is approximate (hf < 1) —
+        (summary_energy < 1, or nearest-quantized summaries via
+        quant_ceil=False) or the search itself is approximate (hf < 1) —
         OFF on the exact path, where phase-0 θ already skips everything
         skippable and phase 1 would only add a pass."""
         if two_phase is None:
-            two_phase = self.config.summary_energy < 1.0 or heap_factor < 1.0
+            two_phase = (
+                self.config.summary_energy < 1.0
+                or not self.config.quant_ceil
+                or heap_factor < 1.0
+            )
         qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
         return srch.batch_search(
             self.spark,
@@ -441,18 +446,32 @@ class SeismicSparkIndex:
 
             scale = float(meta["packed_scale"])
 
+            delta = scale / 255 if scale > 0.0 else 0.0
+
             def unpack(it):
+                # one continuation-bit pass per Arrow batch (the decode twin
+                # of save's delta_encode_multi packer; a per-row
+                # dotvbyte_unpack loop would pay numpy call overhead per doc
+                # on EVERY forward scan — exact_score runs one per search)
                 for pdf in it:
                     if pdf.empty:
                         continue
-                    ts, ws = [], []
-                    for tb, wb in zip(pdf["t_packed"], pdf["w_codes"]):
-                        t, w = codec.dotvbyte_unpack(bytes(tb), bytes(wb), scale)
-                        ts.append(t.tolist())
-                        ws.append(w.tolist())
+                    ids, counts = codec.delta_decode_multi(
+                        [bytes(b) for b in pdf["t_packed"]]
+                    )
+                    w_codes = np.frombuffer(
+                        b"".join(bytes(b) for b in pdf["w_codes"]),
+                        dtype=np.uint8,
+                    )
+                    bounds = np.cumsum(counts)[:-1]
                     yield pd.DataFrame(
-                        {"doc_id": pdf["doc_id"].to_numpy(), "terms": ts,
-                         "weights": ws}
+                        {
+                            "doc_id": pdf["doc_id"].to_numpy(),
+                            "terms": np.split(ids.astype(np.int64), bounds),
+                            "weights": np.split(
+                                w_codes.astype(np.float64) * delta, bounds
+                            ),
+                        }
                     )
 
             forward = forward.mapInPandas(

@@ -91,11 +91,14 @@ def resolve_queries(
         .collect()
     )
     out: dict[str, QVec] = {}
-    by_q: dict[str, list[tuple[int, float]]] = {}
+    by_q: dict[str, dict[int, float]] = {}
     for r in resolved:
-        by_q.setdefault(r["query_id"], []).append((r["term_id"], r["qw"]))
-    for qid, pairs in by_q.items():
-        pairs.sort()
+        # repeated tokens (or distinct tokens resolving to one term id) merge
+        # by summing weights — dot-product-identical, see _query_keys
+        acc = by_q.setdefault(r["query_id"], {})
+        acc[r["term_id"]] = acc.get(r["term_id"], 0.0) + r["qw"]
+    for qid, acc in by_q.items():
+        pairs = sorted(acc.items())
         t = np.asarray([p[0] for p in pairs], dtype=np.int64)
         w = np.asarray([p[1] for p in pairs], dtype=np.float64)
         out[qid] = (t, w)
@@ -125,12 +128,19 @@ def cut_terms(queries_df: DataFrame, query_cut: int) -> DataFrame:
     """Top-``query_cut`` terms per query by (weight desc, term_id asc) —
     inverted_index.rs:187-190's k_largest_by, as a window over the exploded
     query arrays.  Returns (query_id, term_id, qw)."""
-    ex = queries_df.select(
-        "query_id", F.explode(F.arrays_zip("q_terms", "q_weights")).alias("z")
-    ).select(
-        "query_id",
-        F.col("z.q_terms").alias("term_id"),
-        F.col("z.q_weights").alias("qw"),
+    ex = (
+        queries_df.select(
+            "query_id", F.explode(F.arrays_zip("q_terms", "q_weights")).alias("z")
+        )
+        .select(
+            "query_id",
+            F.col("z.q_terms").alias("term_id"),
+            F.col("z.q_weights").alias("qw"),
+        )
+        # duplicate term ids within a query merge by summing weights
+        # (matches _query_keys; shares the window's query_id shuffle)
+        .groupBy("query_id", "term_id")
+        .agg(F.sum("qw").alias("qw"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("qw").desc(), F.col("term_id").asc()
@@ -158,7 +168,9 @@ def _query_keys(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     A user-supplied queries DataFrame (QUERIES_SCHEMA) with UNSORTED q_terms
     is repaired here (in-row sort, weights permuted identically); duplicate
-    term ids within one row are a caller error and raise.
+    term ids within one row are MERGED by summing their weights — for a dot
+    product `q·d` a repeated component contributes `(w1+w2)·dv`, so the merge
+    is score-identical to the caller's intent and never aborts the batch.
     """
     qt_list = [np.asarray(a, dtype=np.int64) for a in pdf["q_terms"]]
     qlens = np.fromiter((a.size for a in qt_list), dtype=np.int64, count=len(qt_list))
@@ -173,11 +185,13 @@ def _query_keys(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if not np.all(d > 0):
             order = np.argsort(qkey, kind="stable")
             qkey, qw_all = qkey[order], qw_all[order]
-            if np.any(np.diff(qkey) == 0):
-                raise ValueError(
-                    "queries DataFrame has duplicate term ids within a row; "
-                    "q_terms must be distinct per query"
+            dup = np.diff(qkey) == 0
+            if np.any(dup):
+                starts = np.flatnonzero(
+                    np.concatenate(([True], ~dup))
                 )
+                qw_all = np.add.reduceat(qw_all, starts)
+                qkey = qkey[starts]
     return qkey, qw_all, qlens
 
 
@@ -427,9 +441,9 @@ def batch_search(
     ``queries`` is a dict {query_id: (term_ids, weights)} (interactive path,
     broadcast) or a DataFrame with QUERIES_SCHEMA (bulk path, e.g. every doc
     as a query for κ-NN).  ``q_terms`` SHOULD be sorted ascending per row
-    with distinct ids; unsorted rows are repaired batch-side (see
-    _query_keys), duplicates raise.  Returns (query_id, rank, doc_id,
-    score); no driver-side loops or mid-plan actions.
+    with distinct ids; unsorted rows are repaired batch-side and duplicate
+    ids merged by weight sum (see _query_keys).  Returns (query_id, rank,
+    doc_id, score); no driver-side loops or mid-plan actions.
     """
     qdf, small = _as_queries_df(spark, queries)
     if broadcast_queries is None:

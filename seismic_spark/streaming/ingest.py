@@ -49,14 +49,21 @@ def build_delta_postings(
     cfg: IndexConfig,
     batch_id: int,
     id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(delta_forward, delta_postings) for a batch of new docs.
 
     Unknown terms are dropped (vocab is the base snapshot's; the reference
     drops unmapped tokens the same way for queries and grows the map for
-    docs — growth happens at compaction here).
+    docs — growth happens at compaction here).  ``tokens`` lets the caller
+    pass pre-tokenized docs (the ingest loop tokenizes once and shares the
+    result with its tokens_delta write).
     """
-    toks = textprep.tokenize(new_docs.select(id_col, "text"))
+    toks = (
+        tokens
+        if tokens is not None
+        else textprep.tokenize(new_docs.select(id_col, "text"))
+    )
     tf_df = textprep.term_frequencies(toks, id_col)
     dtw = textprep.bm25_weights(tf_df, vocab, n_docs, avgdl, id_col).persist()
     delta_forward = fwd.build_forward(dtw, id_col)
@@ -108,17 +115,24 @@ def start_ingest(
         # lazily after the forward append below (which would see the new
         # docs and drop them from the postings delta).
         docs = docs.join(existing, "doc_id", "left_anti").localCheckpoint(eager=True)
+        # tokenize ONCE per batch; persisted so the tokens_delta write and the
+        # delta-postings build share it instead of re-running the UDF
+        toks = textprep.tokenize(docs.select("doc_id", "text")).select(
+            "doc_id", "tokens", "dl"
+        ).persist()
+        # tokens_delta is written BEFORE the forward append: a crash between
+        # the two re-runs the batch, the anti-join drops docs only if their
+        # forward rows landed — so tokens for indexed docs can never be lost
+        # (compact() depends on them; it dedups tokens_delta on doc_id, which
+        # absorbs the opposite crash order's duplicate delta rows)
+        toks.write.mode("append").parquet(os.path.join(index_path, "tokens_delta"))
         d_fwd, d_post = build_delta_postings(
-            spark, docs, vocab, meta["n_docs"], meta["avgdl"], cfg, batch_id
+            spark, docs, vocab, meta["n_docs"], meta["avgdl"], cfg, batch_id,
+            tokens=toks,
         )
         d_fwd.write.mode("append").parquet(os.path.join(index_path, "forward"))
         d_post.write.mode("append").parquet(os.path.join(index_path, "postings"))
-        # raw material for compact(): the delta docs' tokens, kept OUTSIDE the
-        # base `tokens` snapshot so a resumed CheckpointedBuild never reuses a
-        # silently-grown stage
-        textprep.tokenize(docs.select("doc_id", "text")).select(
-            "doc_id", "tokens", "dl"
-        ).write.mode("append").parquet(os.path.join(index_path, "tokens_delta"))
+        toks.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -144,13 +158,30 @@ def compact(
     an index persisted with plain ``save()`` has no token material to re-true
     from and raises.  Crash-safe by idempotence, not atomicity: the delta is
     anti-joined on doc_id before the union, stage dirs are written to
-    ``_compact_tmp`` and swapped last, and ``tokens_delta`` is dropped only
-    after every swap — re-running a killed compact converges.  (On a cluster
+    ``_compact_tmp`` and swapped last via rename-aside (each live stage is
+    moved to ``<stage>_old`` until its replacement is in place, and rolled
+    back on restart — the base snapshots are never deleted before their
+    replacement lands), and ``tokens_delta`` is dropped only after every
+    swap — re-running a killed compact converges.  (On a cluster
     the swap is one Iceberg REPLACE TABLE transaction.)
 
     Returns the compacted :class:`SeismicSparkIndex`.
     """
     from seismic_spark.index import SeismicSparkIndex
+
+    # recover from a compact() killed mid-swap: the swap below renames each
+    # live stage aside (`<stage>_old`) before moving its replacement in, so
+    # a crash leaves either (dst missing, _old intact) — roll back — or
+    # (dst swapped, _old stale) — discard the leftover.  The base snapshots
+    # are therefore never destroyed before their replacement is in place.
+    for stage in ("tokens", "vocab", "weights", "forward", "postings"):
+        dst = os.path.join(index_path, stage)
+        old = dst + "_old"
+        if os.path.exists(old):
+            if os.path.exists(dst):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, dst)
 
     tokens_dir = os.path.join(index_path, "tokens")
     if not os.path.exists(tokens_dir):
@@ -168,6 +199,10 @@ def compact(
     delta_dir = os.path.join(index_path, "tokens_delta")
     if os.path.exists(delta_dir):
         delta = spark.read.parquet(delta_dir).select(id_col, "tokens", "dl")
+        # a crash between the ingest loop's tokens_delta write and its forward
+        # append can leave duplicate delta rows for one doc (same content) —
+        # dedup before folding so df/tf never count a doc twice
+        delta = delta.dropDuplicates([id_col])
         # idempotence under re-runs: drop deltas already folded into base
         delta = delta.join(tokens.select(id_col), id_col, "left_anti")
         tokens = tokens.unionByName(delta)
@@ -199,8 +234,12 @@ def compact(
 
     for stage in ("tokens", "vocab", "weights", "forward", "postings"):
         dst = os.path.join(index_path, stage)
-        shutil.rmtree(dst, ignore_errors=True)
+        old = dst + "_old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, old)  # aside, not deleted — see recovery above
         os.rename(os.path.join(tmp, stage), dst)
+        shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(delta_dir, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     # drop any cached relations over the swapped paths (e.g. the vocab the

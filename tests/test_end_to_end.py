@@ -63,6 +63,23 @@ def test_unknown_and_empty_queries(tiny_index):
     assert got == []
 
 
+def test_duplicate_query_terms_merge_by_sum(tiny_index):
+    """A repeated token in a query must not crash the batch; it merges by
+    summing weights (dot-product-identical: q·d with a repeated component
+    contributes (w1+w2)·dv)."""
+    dup = [("qd", ["apple", "apple", "cherry"], [1.0, 0.5, 2.0])]
+    merged = [("qm", ["apple", "cherry"], [1.5, 2.0])]
+    got = {
+        (r.rank, r.doc_id, round(r.score, 10))
+        for r in tiny_index.batch_search(dup, k=3, heap_factor=1.0).collect()
+    }
+    exp = {
+        (r.rank, r.doc_id, round(r.score, 10))
+        for r in tiny_index.batch_search(merged, k=3, heap_factor=1.0).collect()
+    }
+    assert got == exp and got
+
+
 @pytest.fixture(scope="module")
 def pages_index(spark):
     pages = synth_pages(spark, 300, vocab_size=500, seed=42).persist()
