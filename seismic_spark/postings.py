@@ -277,6 +277,114 @@ def block_of_rank_np(rank: np.ndarray, cfg: IndexConfig) -> np.ndarray:
 # ----------------------------------------------------- kmeans blocking ------
 
 
+def _kmeans_prep(
+    d_terms: list[np.ndarray],
+    d_weights: list[np.ndarray],
+    cfg: IndexConfig,
+    term_id: int,
+):
+    """Shared front of both k-means variants: trivial-list guard, Philox
+    centroid draw keyed by (kmeans_seed, term_id), centroid matrix over the
+    union of centroid terms, and the CSR flatten of all member docs.
+    Returns None when the list is trivially one block."""
+    n = len(d_terms)
+    k = max(1, int(cfg.centroid_fraction * n))
+    if n <= 1 or k >= n:
+        return None
+    rng = np.random.Generator(
+        np.random.Philox(key=[cfg.kmeans_seed, term_id & 0x7FFFFFFF])
+    )
+    centroid_idx = rng.choice(n, size=k, replace=False)
+    centroid_idx.sort()
+    c_terms = np.unique(np.concatenate([d_terms[i] for i in centroid_idx]))
+    C = np.zeros((c_terms.size, k), dtype=np.float32)
+    for j, i in enumerate(centroid_idx):
+        rows = np.searchsorted(c_terms, d_terms[i])
+        C[rows, j] = d_weights[i]
+    lens = np.fromiter((t.size for t in d_terms), dtype=np.int64, count=n)
+    t_all = np.concatenate(d_terms) if lens.sum() else np.empty(0, np.int64)
+    w_all = np.concatenate(d_weights) if lens.sum() else np.empty(0, np.float64)
+    doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return n, k, centroid_idx, c_terms, C, lens, t_all, w_all, doc_rep
+
+
+def _doc_cut_select(
+    t_all: np.ndarray,
+    w_all: np.ndarray,
+    doc_rep: np.ndarray,
+    lens: np.ndarray,
+    doc_cut: int,
+) -> np.ndarray | None:
+    """Indices of each doc's top-``doc_cut`` components by (weight desc,
+    position asc), in flat order — None when no doc exceeds the cut."""
+    if lens.max(initial=0) <= doc_cut:
+        return None
+    pos = np.arange(t_all.size, dtype=np.int64)
+    order = np.lexsort((pos, -w_all, doc_rep))
+    sorted_starts = np.cumsum(lens) - lens
+    rank = pos - np.repeat(sorted_starts, lens)
+    return np.sort(order[rank < doc_cut])
+
+
+def _lookup_rows(
+    c_terms: np.ndarray, t: np.ndarray, w: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Map flat components onto centroid-matrix rows; weights of components
+    absent from the centroid term union become 0 (they can't contribute)."""
+    rows = np.searchsorted(c_terms, t)
+    rows_c = np.minimum(rows, max(c_terms.size - 1, 0))
+    hit = c_terms[rows_c] == t if c_terms.size else np.zeros(t.size, bool)
+    return rows_c, np.where(hit, w, 0.0).astype(np.float32)
+
+
+def _segment_scores(
+    wh: np.ndarray,
+    rows_c: np.ndarray,
+    cnt: np.ndarray,
+    starts: np.ndarray,
+    C: np.ndarray,
+    n: int,
+) -> np.ndarray:
+    """(n × k) doc·centroid scores: per-doc segment sums of elementwise
+    contributions (utils.rs:106-144's accumulate, vectorized), chunked so
+    the (elements × k) contribution buffer stays bounded."""
+    k = C.shape[1]
+    S = np.zeros((n, k), dtype=np.float32)
+    elems_per_chunk = max(1, 8_000_000 // max(k, 1))
+    d0 = 0
+    while d0 < n:
+        d1 = d0
+        acc = 0
+        while d1 < n and (acc == 0 or acc + cnt[d1] <= elems_per_chunk):
+            acc += cnt[d1]
+            d1 += 1
+        s, e = starts[d0], starts[d1 - 1] + cnt[d1 - 1]
+        if e > s:
+            contrib = wh[s:e, None] * C[rows_c[s:e]]
+            local = np.arange(d0, d1)[cnt[d0:d1] > 0]
+            if local.size:
+                S[local] = np.add.reduceat(contrib, starts[local] - s, axis=0)
+        d0 = d1
+    return S
+
+
+def _dissolve_and_remap(a: np.ndarray, k: int, min_cluster_size: int, reassign):
+    """Clusters ≤ min_cluster_size dissolve; members reassign among the
+    survivors via ``reassign(surviving_mask) -> global centroid ids``; block
+    ids renumber densely in surviving-centroid order (utils.rs:189-236)."""
+    counts = np.bincount(a, minlength=k)
+    surviving = counts > min_cluster_size
+    if surviving.any() and not surviving.all():
+        surv_ids = np.flatnonzero(surviving)
+        a2 = reassign(surviving)
+        dissolved = ~surviving[a]
+        a[dissolved] = a2[dissolved]
+        remap = -np.ones(k, dtype=np.int32)
+        remap[surv_ids] = np.arange(surv_ids.size, dtype=np.int32)
+        a = remap[a]
+    return a.astype(np.int32)
+
+
 def kmeans_blocks(
     d_terms: list[np.ndarray],
     d_weights: list[np.ndarray],
@@ -300,82 +408,30 @@ def kmeans_blocks(
     """
     if cfg.kmeans_mode == "ii":
         return kmeans_blocks_ii(d_terms, d_weights, cfg, term_id)
-    n = len(d_terms)
-    k = max(1, int(cfg.centroid_fraction * n))
-    if n <= 1 or k >= n:
-        return np.zeros(n, dtype=np.int32)
-    rng = np.random.Generator(
-        np.random.Philox(key=[cfg.kmeans_seed, term_id & 0x7FFFFFFF])
-    )
-    centroid_idx = rng.choice(n, size=k, replace=False)
-    centroid_idx.sort()
+    prep = _kmeans_prep(d_terms, d_weights, cfg, term_id)
+    if prep is None:
+        return np.zeros(len(d_terms), dtype=np.int32)
+    n, k, _, c_terms, C, lens, t_all, w_all, doc_rep = prep
 
-    # centroid matrix over the union of centroid terms only
-    c_terms = np.unique(np.concatenate([d_terms[i] for i in centroid_idx]))
-    C = np.zeros((c_terms.size, k), dtype=np.float32)
-    for j, i in enumerate(centroid_idx):
-        rows = np.searchsorted(c_terms, d_terms[i])
-        C[rows, j] = d_weights[i]
-
-    # ---- flatten all docs once; select top-doc_cut components per doc ----
-    lens = np.fromiter((t.size for t in d_terms), dtype=np.int64, count=n)
-    t_all = np.concatenate(d_terms) if lens.sum() else np.empty(0, np.int64)
-    w_all = np.concatenate(d_weights) if lens.sum() else np.empty(0, np.float64)
-    doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
-    if lens.max(initial=0) > cfg.kmeans_doc_cut:
-        # per-doc rank by (weight desc, position asc); keep rank < doc_cut
-        pos = np.arange(t_all.size, dtype=np.int64)
-        order = np.lexsort((pos, -w_all, doc_rep))
-        sorted_starts = np.cumsum(lens) - lens
-        rank = pos - np.repeat(sorted_starts, lens)
-        sel = np.sort(order[rank < cfg.kmeans_doc_cut])
+    # approx variant scores ONLY each doc's top-doc_cut components
+    sel = _doc_cut_select(t_all, w_all, doc_rep, lens, cfg.kmeans_doc_cut)
+    if sel is not None:
         t_all, w_all, doc_rep = t_all[sel], w_all[sel], doc_rep[sel]
     cnt = np.bincount(doc_rep, minlength=n)
     starts = np.cumsum(cnt) - cnt
-    rows = np.searchsorted(c_terms, t_all)
-    rows_c = np.minimum(rows, max(c_terms.size - 1, 0))
-    hit = c_terms[rows_c] == t_all if c_terms.size else np.zeros(t_all.size, bool)
-    wh = np.where(hit, w_all, 0.0).astype(np.float32)
+    rows_c, wh = _lookup_rows(c_terms, t_all, w_all)
+    # scores are computed ONCE over all k columns; assignment under a
+    # survivor mask is a masked argmax of the same matrix (identical to
+    # re-scoring the surviving columns — scores are ≥ 0 and column sums
+    # don't depend on the mask)
+    S = _segment_scores(wh, rows_c, cnt, starts, C, n)
 
     def assign(mask: np.ndarray | None) -> np.ndarray:
-        """argmax-dot assignment (optionally restricted to surviving cols):
-        scatter-free — per-doc segment sums of elementwise contributions
-        (utils.rs:106-144's accumulate, vectorized)."""
-        Cm = C if mask is None else C[:, mask]
-        kc = Cm.shape[1]
-        scores = np.zeros((n, kc), dtype=np.float32)
-        # chunk doc ranges so the (elements × kc) contribution stays bounded
-        elems_per_chunk = max(1, 8_000_000 // max(kc, 1))
-        d0 = 0
-        while d0 < n:
-            d1 = d0
-            acc = 0
-            while d1 < n and (acc == 0 or acc + cnt[d1] <= elems_per_chunk):
-                acc += cnt[d1]
-                d1 += 1
-            s, e = starts[d0], starts[d1 - 1] + cnt[d1 - 1]
-            if e > s:
-                contrib = wh[s:e, None] * Cm[rows_c[s:e]]
-                local = np.arange(d0, d1)[cnt[d0:d1] > 0]
-                if local.size:
-                    scores[local] = np.add.reduceat(contrib, starts[local] - s, axis=0)
-            d0 = d1
-        return np.argmax(scores, axis=1).astype(np.int32)
+        Sm = S if mask is None else np.where(mask[None, :], S, np.float32(-1.0))
+        return np.argmax(Sm, axis=1).astype(np.int32)
 
     a = assign(None)
-    # dissolve small clusters, reassign members among survivors
-    counts = np.bincount(a, minlength=k)
-    surviving = counts > cfg.min_cluster_size
-    if surviving.any() and not surviving.all():
-        surv_ids = np.flatnonzero(surviving)
-        a_surv = assign(surviving)
-        dissolved = ~surviving[a]
-        a[dissolved] = surv_ids[a_surv[dissolved]]
-        # renumber to dense block ids in surviving-centroid order
-        remap = -np.ones(k, dtype=np.int32)
-        remap[surv_ids] = np.arange(surv_ids.size, dtype=np.int32)
-        a = remap[a]
-    return a.astype(np.int32)
+    return _dissolve_and_remap(a, k, cfg.min_cluster_size, assign)
 
 
 def kmeans_blocks_ii(
@@ -403,51 +459,16 @@ def kmeans_blocks_ii(
     (kmeans_seed, term_id) centroid draw instead of the reference's global
     seed-42 stream; dot ties broken toward the lowest centroid index.
     """
-    n = len(d_terms)
-    k = max(1, int(cfg.centroid_fraction * n))
-    if n <= 1 or k >= n:
-        return np.zeros(n, dtype=np.int32)
-    rng = np.random.Generator(
-        np.random.Philox(key=[cfg.kmeans_seed, term_id & 0x7FFFFFFF])
-    )
-    centroid_idx = rng.choice(n, size=k, replace=False)
-    centroid_idx.sort()
+    prep = _kmeans_prep(d_terms, d_weights, cfg, term_id)
+    if prep is None:
+        return np.zeros(len(d_terms), dtype=np.int32)
+    n, k, centroid_idx, c_terms, C, lens, t_all, w_all, doc_rep = prep
 
-    c_terms = np.unique(np.concatenate([d_terms[i] for i in centroid_idx]))
-    C = np.zeros((c_terms.size, k), dtype=np.float32)
-    for j, i in enumerate(centroid_idx):
-        rows = np.searchsorted(c_terms, d_terms[i])
-        C[rows, j] = d_weights[i]
-
-    # ---- full flatten (exact dots use FULL doc vectors) ------------------
-    lens = np.fromiter((t.size for t in d_terms), dtype=np.int64, count=n)
-    t_all = np.concatenate(d_terms) if lens.sum() else np.empty(0, np.int64)
-    w_all = np.concatenate(d_weights) if lens.sum() else np.empty(0, np.float64)
-    doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
-    rows = np.searchsorted(c_terms, t_all)
-    rows_c = np.minimum(rows, max(c_terms.size - 1, 0))
-    hit = c_terms[rows_c] == t_all if c_terms.size else np.zeros(t_all.size, bool)
-    wh = np.where(hit, w_all, 0.0).astype(np.float32)
+    # exact dots use FULL doc vectors (no doc_cut on the scoring side)
     cnt = np.bincount(doc_rep, minlength=n)
     starts = np.cumsum(cnt) - cnt
-
-    # exact (n × k) score matrix, chunked like the approx path
-    S = np.zeros((n, k), dtype=np.float32)
-    elems_per_chunk = max(1, 8_000_000 // max(k, 1))
-    d0 = 0
-    while d0 < n:
-        d1 = d0
-        acc = 0
-        while d1 < n and (acc == 0 or acc + cnt[d1] <= elems_per_chunk):
-            acc += cnt[d1]
-            d1 += 1
-        s, e = starts[d0], starts[d1 - 1] + cnt[d1 - 1]
-        if e > s:
-            contrib = wh[s:e, None] * C[rows_c[s:e]]
-            local = np.arange(d0, d1)[cnt[d0:d1] > 0]
-            if local.size:
-                S[local] = np.add.reduceat(contrib, starts[local] - s, axis=0)
-        d0 = d1
+    rows_c, wh = _lookup_rows(c_terms, t_all, w_all)
+    S = _segment_scores(wh, rows_c, cnt, starts, C, n)
 
     # ---- candidate mask from the pruned centroid mini-index --------------
     pls = max(5, int(n * cfg.kmeans_pruning_factor))
@@ -457,20 +478,11 @@ def kmeans_blocks_ii(
     np.put_along_axis(ranks, order, np.broadcast_to(np.arange(k), order.shape).copy(), axis=1)
     P = (C > 0) & (ranks < pls)  # (c_terms × k) pruned-list membership
 
-    # doc's top-doc_cut components (same selection as the approx path)
-    sel_t, sel_doc = t_all, doc_rep
-    if lens.max(initial=0) > cfg.kmeans_doc_cut:
-        pos = np.arange(t_all.size, dtype=np.int64)
-        o = np.lexsort((pos, -w_all, doc_rep))
-        sorted_starts = np.cumsum(lens) - lens
-        rank = pos - np.repeat(sorted_starts, lens)
-        sel = np.sort(o[rank < cfg.kmeans_doc_cut])
-        sel_t, sel_doc = t_all[sel], doc_rep[sel]
-    sel_rows = np.searchsorted(c_terms, sel_t)
-    sel_rows_c = np.minimum(sel_rows, max(c_terms.size - 1, 0))
-    sel_hit = (
-        c_terms[sel_rows_c] == sel_t if c_terms.size else np.zeros(sel_t.size, bool)
-    )
+    # candidates come from each doc's top-doc_cut components only
+    sel = _doc_cut_select(t_all, w_all, doc_rep, lens, cfg.kmeans_doc_cut)
+    sel_t, sel_doc = (t_all, doc_rep) if sel is None else (t_all[sel], doc_rep[sel])
+    sel_rows_c, sel_wh = _lookup_rows(c_terms, sel_t, np.ones(sel_t.size))
+    sel_hit = sel_wh > 0
     M = np.zeros((n, k), dtype=bool)
     if sel_hit.any():
         np.logical_or.at(M, sel_doc[sel_hit], P[sel_rows_c[sel_hit]])
@@ -484,17 +496,7 @@ def kmeans_blocks_ii(
 
     a = masked_assign(np.ones(k, dtype=bool))
     a[centroid_idx] = np.arange(k, dtype=np.int32)  # self-assignment
-    counts = np.bincount(a, minlength=k)
-    surviving = counts > cfg.min_cluster_size
-    if surviving.any() and not surviving.all():
-        surv_ids = np.flatnonzero(surviving)
-        a2 = masked_assign(surviving)
-        dissolved = ~surviving[a]
-        a[dissolved] = a2[dissolved]
-        remap = -np.ones(k, dtype=np.int32)
-        remap[surv_ids] = np.arange(surv_ids.size, dtype=np.int32)
-        a = remap[a]
-    return a.astype(np.int32)
+    return _dissolve_and_remap(a, k, cfg.min_cluster_size, masked_assign)
 
 
 # ------------------------------------------------- posting-row builder ------

@@ -187,6 +187,65 @@ def _run_level_inner(cores_max: int, n_docs: int, vocab: int) -> dict:
     )
 
 
+def collect(args) -> None:
+    """Canary-gated sample collection (the round-3 protocol): wait for a
+    healthy host window (two consecutive first-touch readings ≥ --healthy),
+    run one N/4N pair on a FRESH cluster, record it with its four bracketing
+    canaries, and mark it valid only if all four clear --valid.  Repeats
+    until --collect valid samples exist in --out.  Alternate pairs run in
+    opposite order (ABBA across samples) so drift can't favor a side."""
+    from canary import measure
+
+    def wait_healthy(deadline: float) -> bool:
+        while time.time() < deadline:
+            r1 = measure()
+            if r1["first_touch_mbps"] >= args.healthy:
+                time.sleep(20)
+                if measure()["first_touch_mbps"] >= args.healthy:
+                    return True
+            time.sleep(120)
+        return False
+
+    def n_valid() -> int:
+        if not os.path.exists(args.out):
+            return 0
+        with open(args.out) as f:
+            return sum(1 for line in f if json.loads(line).get("valid"))
+
+    deadline = time.time() + args.timeout_hours * 3600
+    i = n_valid()
+    while i < args.collect and time.time() < deadline:
+        if not wait_healthy(deadline):
+            break
+        order = [args.n, args.n * 4] if i % 2 == 0 else [args.n * 4, args.n]
+        try:
+            stop_cluster()
+            time.sleep(3)
+            ensure_cluster(workers=8)
+            pair = {str(c): run_level(c, args.docs, args.vocab) for c in order}
+            cN, c4N = pair[str(args.n)], pair[str(args.n * 4)]
+            canaries = [
+                cN["canary_pre_mbps"], cN["canary_post_mbps"],
+                c4N["canary_pre_mbps"], c4N["canary_post_mbps"],
+            ]
+            rec = {
+                "ts": round(time.time(), 1), "order": order, "pair": pair,
+                "eff_build": round(cN["build_sec"] / c4N["build_sec"] / 4, 3),
+                "eff_search": round(cN["search_sec"] / c4N["search_sec"] / 4, 3),
+                "canaries": canaries,
+                "valid": min(canaries) >= args.valid,
+            }
+        except Exception as e:  # noqa: BLE001 — record and keep collecting
+            rec = {"ts": round(time.time(), 1), "order": order,
+                   "error": str(e)[:500], "valid": False}
+        with open(args.out, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if rec.get("valid"):
+            i += 1
+    stop_cluster()
+    print(json.dumps({"valid_samples": n_valid(), "out": args.out}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200000)
@@ -196,9 +255,20 @@ def main() -> None:
                     help="ABBA repetitions per level (medians reported)")
     ap.add_argument("--write-md", action="store_true")
     ap.add_argument("--stop-cluster", action="store_true")
+    ap.add_argument("--collect", type=int, default=0,
+                    help="collect N canary-valid samples (round-3 protocol)")
+    ap.add_argument("--out", default="/tmp/scaling_samples.jsonl")
+    ap.add_argument("--healthy", type=float, default=1300.0,
+                    help="first-touch MB/s gate to START a sample")
+    ap.add_argument("--valid", type=float, default=900.0,
+                    help="first-touch MB/s floor for a sample to COUNT")
+    ap.add_argument("--timeout-hours", type=float, default=6.0)
     args = ap.parse_args()
     if args.stop_cluster:
         stop_cluster()
+        return
+    if args.collect:
+        collect(args)
         return
 
     ensure_cluster(workers=8)
