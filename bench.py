@@ -146,6 +146,20 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
 
     spark.stop()
     total = round(sum(timings.values()), 3)
+    # host-health context: this sandbox suffers intermittent HOST-level
+    # page-supply throttling (tools/canary.py; BENCH/BASELINE.md round 3) —
+    # first-touch of new pages drops 30-100x while CPU stays full speed.
+    # Healthy plateau ≈ 1400-1700 MB/s; numbers taken under ~<900 are
+    # dominated by the hypervisor, not the engine.
+    try:
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from canary import measure as _canary
+
+        host_mbps = _canary()["first_touch_mbps"]
+    except Exception:
+        host_mbps = None
     return {
         "metric": "seismic_spark headline suite wall time (build + top-10 batch search + knn graph + dedup + ann; r3: pruned config = the kmeans/e0.5/hf0.9 winner from BENCH/BASELINE.md)",
         "value": total,
@@ -156,6 +170,7 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
         "n_docs": n_docs,
         "n_queries": len(qs),
         "n_results": n_res,
+        "host_first_touch_mbps": host_mbps,
         **extras,
     }
 

@@ -131,6 +131,33 @@ class SeismicSparkIndex:
             two_phase=two_phase,
         )
 
+    def prepare_serving(self) -> "SeismicSparkIndex":
+        """Pin the index for repeated-search serving (the in-session analogue
+        of the reference holding its whole index in RAM, inverted_index.rs:38).
+
+        ``forward`` is repartitioned by hash(doc_id) to the session's shuffle
+        parallelism and persisted: the candidates→forward exact-rescore join
+        (search.exact_score) then re-reads a deserialized in-memory relation
+        instead of re-scanning parquet per search, and — because
+        InMemoryRelation preserves its HashPartitioning — the forward-side
+        exchange is elided even when the candidate set is itself
+        DataFrame-scale (κ-NN, where AQE cannot broadcast).  ``postings`` and
+        ``vocab`` persist as-is (scan-only reuse).  On a cluster the same
+        effect comes from bucketing the stored tables by doc_id / term hash
+        (see save()); this method is for a long-lived driver serving many
+        queries.  Memory cost ≈ the forward+postings working set; call
+        ``unpersist_serving()`` to release."""
+        spark = self.spark
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self.forward = self.forward.repartition(p, F.col("doc_id")).persist()
+        self.postings = self.postings.persist()
+        self.vocab = self.vocab.persist()
+        return self
+
+    def unpersist_serving(self) -> None:
+        for df in (self.forward, self.postings, self.vocab):
+            df.unpersist()
+
     def _postings_for(self, qvecs) -> DataFrame:
         """Partition-pruned postings scan: for a bucket-partitioned snapshot
         (save(partitions_by_term_hash=N)), restrict to the query terms'

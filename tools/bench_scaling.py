@@ -156,13 +156,34 @@ def run_level(cores_max: int, n_docs: int, vocab: int) -> dict:
     window is meaningless, so each level records the canary before and after
     and the summary marks levels whose canaries are degraded.
     """
+    import threading
+
     from canary import measure  # tools/ is on sys.path when run as a script
 
     pre = measure()
-    res = _run_level_inner(cores_max, n_docs, vocab)
+    in_run: list[float] = []
+    stop = threading.Event()
+
+    def watch() -> None:
+        # the level's own page churn depresses these readings (self-
+        # contention), so they are not comparable to quiet-box canaries —
+        # but a HOST throttle dip mid-level reads catastrophically low
+        # (<100 MB/s), which the pre/post brackets cannot see.
+        while not stop.wait(30.0):
+            in_run.append(measure()["first_touch_mbps"])
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    try:
+        res = _run_level_inner(cores_max, n_docs, vocab)
+    finally:
+        stop.set()
+        t.join(timeout=5)
     post = measure()
     res["canary_pre_mbps"] = pre["first_touch_mbps"]
     res["canary_post_mbps"] = post["first_touch_mbps"]
+    res["canary_in_run_min_mbps"] = min(in_run) if in_run else None
+    res["canary_in_run"] = in_run
     return res
 
 
@@ -228,12 +249,23 @@ def collect(args) -> None:
                 cN["canary_pre_mbps"], cN["canary_post_mbps"],
                 c4N["canary_pre_mbps"], c4N["canary_post_mbps"],
             ]
+            in_run_mins = [
+                x["canary_in_run_min_mbps"]
+                for x in (cN, c4N)
+                if x.get("canary_in_run_min_mbps") is not None
+            ]
             rec = {
                 "ts": round(time.time(), 1), "order": order, "pair": pair,
                 "eff_build": round(cN["build_sec"] / c4N["build_sec"] / 4, 3),
                 "eff_search": round(cN["search_sec"] / c4N["search_sec"] / 4, 3),
                 "canaries": canaries,
-                "valid": min(canaries) >= args.valid,
+                "in_run_min": min(in_run_mins) if in_run_mins else None,
+                # brackets must be healthy AND no catastrophic mid-level host
+                # dip (in-run readings are self-contended, so the floor is
+                # far below the quiet-box gate; <args.inrun_floor means the
+                # hypervisor stalled page supply mid-measurement)
+                "valid": min(canaries) >= args.valid
+                and (not in_run_mins or min(in_run_mins) >= args.inrun_floor),
             }
         except Exception as e:  # noqa: BLE001 — record and keep collecting
             rec = {"ts": round(time.time(), 1), "order": order,
@@ -262,6 +294,9 @@ def main() -> None:
                     help="first-touch MB/s gate to START a sample")
     ap.add_argument("--valid", type=float, default=900.0,
                     help="first-touch MB/s floor for a sample to COUNT")
+    ap.add_argument("--inrun-floor", type=float, default=60.0,
+                    help="min in-run (self-contended) canary MB/s; below = "
+                         "mid-level host stall, sample rejected")
     ap.add_argument("--timeout-hours", type=float, default=6.0)
     args = ap.parse_args()
     if args.stop_cluster:
