@@ -146,7 +146,15 @@ class SeismicSparkIndex:
         effect comes from bucketing the stored tables by doc_id / term hash
         (see save()); this method is for a long-lived driver serving many
         queries.  Memory cost ≈ the forward+postings working set; call
-        ``unpersist_serving()`` to release."""
+        ``unpersist_serving()`` to release.
+
+        Measured caveat (1M docs, local[16], parquet on tmpfs, healthy-host
+        canaries 1539/1500): cold-scan 135.9 QPS vs serving 108.7 QPS — when
+        the parquet already lives in RAM, Spark's columnar cache decodes
+        array columns SLOWER than re-scanning it, and AQE's broadcast of the
+        candidate side already avoids the forward exchange.  Use this only
+        where the scan itself is expensive (object storage / remote FS); it
+        is deliberately NOT enabled in bench.py."""
         spark = self.spark
         p = int(spark.conf.get("spark.sql.shuffle.partitions"))
         self.forward = self.forward.repartition(p, F.col("doc_id")).persist()

@@ -235,11 +235,19 @@ def collect(args) -> None:
 
     deadline = time.time() + args.timeout_hours * 3600
     i = n_valid()
+    attempt = 0
     while i < args.collect and time.time() < deadline:
         if not wait_healthy(deadline):
             break
-        order = [args.n, args.n * 4] if i % 2 == 0 else [args.n * 4, args.n]
+        # alternate by ATTEMPT so rejected pairs don't pin one order; odd
+        # attempts run the short (4N) leg first — if the host window is
+        # brief, at least the cheap leg lands clean
+        order = [args.n * 4, args.n] if attempt % 2 == 0 else [args.n, args.n * 4]
+        attempt += 1
+        lock = args.out + ".lock"  # signals "pair in flight — box must stay quiet"
         try:
+            with open(lock, "w") as f:
+                f.write(str(os.getpid()))
             stop_cluster()
             time.sleep(3)
             ensure_cluster(workers=8)
@@ -255,7 +263,8 @@ def collect(args) -> None:
                 if x.get("canary_in_run_min_mbps") is not None
             ]
             rec = {
-                "ts": round(time.time(), 1), "order": order, "pair": pair,
+                "ts": round(time.time(), 1), "order": order,
+                "docs": args.docs, "vocab": args.vocab, "pair": pair,
                 "eff_build": round(cN["build_sec"] / c4N["build_sec"] / 4, 3),
                 "eff_search": round(cN["search_sec"] / c4N["search_sec"] / 4, 3),
                 "canaries": canaries,
@@ -270,6 +279,9 @@ def collect(args) -> None:
         except Exception as e:  # noqa: BLE001 — record and keep collecting
             rec = {"ts": round(time.time(), 1), "order": order,
                    "error": str(e)[:500], "valid": False}
+        finally:
+            if os.path.exists(lock):
+                os.remove(lock)
         with open(args.out, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if rec.get("valid"):
