@@ -145,6 +145,40 @@ SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= {k}
 """
 
 
+def _neardup_sql(threshold: float, n_planes: int, dim: int = 64) -> str:
+    """DuckDB twin of operators/dedup.embedding_neardup_pairs: same
+    md5-derived planes / 6dp sign dots as the LSH ANN oracle, all pairs
+    within a bucket, fold-dot cosine at 4dp, thresholded."""
+    from seismic_spark.operators.ann import planes_sql
+
+    dot_fold = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, len(x.embedding) + 1), "
+        "i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)), (a, b) -> a + b)"
+    )
+    norm_fold = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform({e}, "
+        "v -> v::DOUBLE * v::DOUBLE)), (a, b) -> a + b))"
+    )
+    return f"""
+WITH planes AS ({planes_sql(dim, n_planes)}),
+e AS (SELECT vec_id, embedding FROM embeddings),
+ef AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+              unnest(range(len(embedding)))::INT AS pos FROM e),
+ed AS (SELECT vec_id, bit, round(sum(v * pv), 6) AS dot
+       FROM ef JOIN planes USING (pos) GROUP BY vec_id, bit),
+eb AS (SELECT vec_id,
+              sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS bucket
+       FROM ed GROUP BY vec_id),
+cand AS (SELECT l.vec_id AS a, r.vec_id AS b
+         FROM eb l JOIN eb r USING (bucket) WHERE l.vec_id < r.vec_id),
+s AS (SELECT cand.a, cand.b,
+             round({dot_fold} / ({norm_fold.format(e='x.embedding')}
+                                 * {norm_fold.format(e='y.embedding')}), 4) AS cosine
+      FROM cand JOIN e x ON x.vec_id = cand.a JOIN e y ON y.vec_id = cand.b)
+SELECT a, b, cosine FROM s WHERE cosine >= {threshold}
+"""
+
+
 def _ann_ivf_sql(n_cells: int = 8, n_probe: int = 2, k: int = 5) -> str:
     """DuckDB twin of operators/ann.ivf_bucketed_topk (md5-sampled
     centroids): centroid j = corpus vector with the j-th smallest
@@ -451,6 +485,55 @@ def _q_events_hourly(spark, sf_dir):
     return hourly_rollup(ev)
 
 
+NEARDUP_THRESHOLD, NEARDUP_PLANES = 0.3, 4
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    from seismic_spark.operators.dedup import embedding_neardup_pairs
+
+    _tune(spark)
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), dim=64,
+        threshold=NEARDUP_THRESHOLD, n_planes=NEARDUP_PLANES,
+    )
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from seismic_spark.operators.multimodal import extract_features
+
+    _tune(spark)
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return extract_features(payloads)
+
+
+FRAME_STRIDE = 7
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    from seismic_spark.operators.multimodal import sample_frames
+
+    _tune(spark)
+    payloads = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return sample_frames(payloads, stride=FRAME_STRIDE)
+
+
+SESSION_GAP_MIN = 30
+
+
+def _q_sessionize(spark, sf_dir):
+    # same contract as the applyInPandasWithState stream (test_sessions
+    # pins stream == batch); the batch plan is the SQL-expressible twin
+    from seismic_spark.streaming.sessions import sessionize
+
+    _tune(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=SESSION_GAP_MIN)
+
+
 # ------------------------------------------------------------- contract -----
 
 
@@ -482,7 +565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "knn_graph": _q_knn_graph,
         "multimodal_decode": _q_multimodal,
+        "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
+        "embedding_neardup": _q_embedding_neardup,
         "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
     }
 
 
@@ -671,5 +758,50 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
        event_type, CAST(count(*) AS BIGINT) AS n,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY ALL
+""",
+        "embedding_neardup": _neardup_sql(NEARDUP_THRESHOLD, NEARDUP_PLANES),
+        "multimodal_features": """
+WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+by AS (SELECT doc_id, unnest(list_transform(string_split(text, ''),
+              ch -> ascii(ch) // 16)) AS bin
+       FROM b WHERE nb > 0),
+h AS (SELECT doc_id, bin, count(*) AS c FROM by GROUP BY doc_id, bin),
+g AS (SELECT b.doc_id, b.nb, r.range::INT AS bin FROM b, range(16) r)
+SELECT g.doc_id, g.bin,
+       floor(coalesce(h.c, 0) / greatest(g.nb, 1)::DOUBLE * 10000 + 0.5)
+           / 10000 AS frac
+FROM g LEFT JOIN h ON h.doc_id = g.doc_id AND h.bin = g.bin
+""",
+        "multimodal_frames": f"""
+WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+f AS (SELECT doc_id, text, CAST(1 + nb % 120 AS INT) AS n_frames,
+             greatest(1, nb // (1 + nb % 120)) AS fsize FROM b),
+x AS (SELECT doc_id, n_frames, fsize, text,
+             unnest(range(0, n_frames, {FRAME_STRIDE}))::INT AS frame_idx FROM f),
+s AS (SELECT doc_id, frame_idx, n_frames,
+             substr(text, frame_idx * fsize + 1, fsize) AS sl FROM x)
+SELECT doc_id, frame_idx, n_frames,
+       CAST(octet_length(encode(sl)) AS BIGINT) AS frame_bytes,
+       md5(sl) AS frame_md5
+FROM s
+""",
+        "sessionize": f"""
+WITH o AS (SELECT user_id, ts, event_id, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > {SESSION_GAP_MIN * 60_000_000} THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+t AS (SELECT user_id, ts, value,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                 AS session_seq
+      FROM o)
+SELECT user_id, session_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM t GROUP BY user_id, session_seq
 """,
     }

@@ -209,3 +209,78 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    matmul: bool = False,
+    bucket_cap: int = 100_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket blocked.
+
+    (a, b, cosine) with a < b and 4dp-rounded cosine ≥ ``threshold``;
+    candidates come only from pairs sharing the sign-pattern bucket of
+    ``n_planes`` md5-derived hyperplanes (ann.lsh_buckets — one bucket per
+    vector, so no cross-bucket duplicates).  Fewer planes ⇒ higher recall: a
+    qualifying pair is missed only when a plane separates the two vectors
+    (probability ≈ n_planes · angle / π); recall is measured against the
+    exact all-pairs oracle in tests.
+
+    Scale: the only data shuffle joins on the bucket key.  Mega-buckets
+    (near-zero or boilerplate embeddings collapse into one sign pattern) are
+    salted exactly like :func:`lsh_candidate_pairs` — left side split into
+    ``n_salts`` groups by hash(a), right side replicated — so each unordered
+    pair joins exactly once and the output is identical to the unsalted
+    join.  ``matmul=True`` buckets via one Arrow matmul per batch (the
+    10^9-vector path); the default JVM join path has a DuckDB SQL oracle.
+    """
+    from seismic_spark.operators.ann import (
+        _fold_dot,
+        _fold_norm,
+        lsh_buckets,
+        lsh_buckets_matmul,
+    )
+
+    bucketer = lsh_buckets_matmul if matmul else lsh_buckets
+    b = bucketer(embeddings, dim, n_planes).join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    w = Window.partitionBy("bucket")
+    b = b.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    big = F.col("_bsz") > bucket_cap
+    left = b.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        "bucket",
+        F.when(big, F.pmod(F.hash("vec_id"), F.lit(n_salts)))
+        .otherwise(F.lit(0))
+        .alias("salt"),
+    )
+    right = b.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        "bucket",
+        F.explode(
+            F.when(big, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
+                F.array(F.lit(0))
+            )
+        ).alias("salt"),
+    )
+    return (
+        left.join(right, ["bucket", "salt"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _fold_dot(F.col("a_emb"), F.col("b_emb"))
+                / (_fold_norm(F.col("a_emb")) * _fold_norm(F.col("b_emb"))),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

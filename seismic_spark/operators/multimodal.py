@@ -68,3 +68,137 @@ def decode_binary_column(
             )
 
     return df.select(id_col, payload_col).mapInPandas(decode, DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id BIGINT, bin INT, frac DOUBLE"
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_bins: int = 16,
+) -> DataFrame:
+    """Byte-histogram feature extraction: (doc_id, bin, frac) rows.
+
+    The stand-in for a real feature extractor (CLIP/ResNet embedding): a
+    ``n_bins``-bucket histogram of the payload bytes, normalized to
+    fractions (4dp, half-away-from-zero like the SQL oracle).  The batch is
+    processed with ONE bincount over the concatenated buffer — no per-byte
+    Python — which is exactly the shape a real Arrow-batched extractor has
+    (stack payloads, one vectorized model call per batch).
+
+    Rows (not an array column) so the DuckDB oracle compares scalars.
+    Swap the histogram for a model forward pass and only the body changes.
+    """
+    shift = 8 - int(np.log2(n_bins))  # byte >> shift ∈ [0, n_bins)
+
+    def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            bufs = [np.frombuffer(bytes(p), dtype=np.uint8) for p in pdf[payload_col]]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            row = np.repeat(np.arange(len(bufs), dtype=np.int64), lens)
+            allb = (
+                np.concatenate(bufs) if lens.sum() else np.empty(0, np.uint8)
+            )
+            hist = np.bincount(
+                row * n_bins + (allb >> shift), minlength=len(bufs) * n_bins
+            ).reshape(len(bufs), n_bins)
+            denom = np.maximum(lens, 1).astype(np.float64)[:, None]
+            frac = np.floor(hist / denom * 1e4 + 0.5) / 1e4
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf[id_col].to_numpy(), n_bins),
+                    "bin": np.tile(np.arange(n_bins, dtype=np.int32), len(bufs)),
+                    "frac": frac.ravel(),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(feats, FEATURES_SCHEMA)
+
+
+def resize_plan(
+    df: DataFrame, max_w: int = 224, max_h: int = 224, id_col: str = "doc_id"
+) -> DataFrame:
+    """Aspect-preserving resize targets from decoded dimensions — pure JVM.
+
+    Takes the output of :func:`decode_binary_column` and computes
+    (out_w, out_h, scale): scale = min(1, max_w/width, max_h/height), output
+    dims floored, never upscaled.  Deliberately NOT a UDF: the arithmetic is
+    whole-stage-codegen expressions; only the pixel resample itself (which
+    needs the decoded image, stubbed in this container) would live in the
+    Arrow batch next to :func:`fake_decode_image`.
+    """
+    from pyspark.sql import functions as F
+
+    scale = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(max_w)) / F.col("width"),
+            F.lit(float(max_h)) / F.col("height"),
+        ),
+        6,
+    )
+    return df.select(
+        id_col,
+        "width",
+        "height",
+        scale.alias("scale"),
+        F.floor(F.col("width") * scale).cast("int").alias("out_w"),
+        F.floor(F.col("height") * scale).cast("int").alias("out_h"),
+    )
+
+
+FRAMES_SCHEMA = (
+    "doc_id BIGINT, frame_idx INT, n_frames INT, frame_bytes BIGINT, "
+    "frame_md5 STRING"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    stride: int = 7,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video-style frame sampling: every ``stride``-th frame of each payload.
+
+    Deterministic fake in place of an ffmpeg demuxer: the payload "contains"
+    ``1 + n_bytes % 120`` frames of ``max(1, n_bytes // n_frames)`` bytes
+    each; sampled frames are idx 0, stride, 2·stride, …  Each output row
+    carries the frame's byte length and md5 — the real plumbing (explode
+    factor rows out of Arrow batches, binary slicing per frame) is what an
+    actual frame sampler needs; only the slice→decode step is fake.
+    """
+    import hashlib
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids, idxs, nfs, fbs, digests = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(p)
+                nb = len(buf)
+                n_frames = 1 + nb % 120
+                fsize = max(1, nb // n_frames)
+                for i in range(0, n_frames, stride):
+                    sl = buf[i * fsize : i * fsize + fsize]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    nfs.append(n_frames)
+                    fbs.append(len(sl))
+                    digests.append(hashlib.md5(sl).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "frame_idx": np.asarray(idxs, dtype=np.int32),
+                    "n_frames": np.asarray(nfs, dtype=np.int32),
+                    "frame_bytes": np.asarray(fbs, dtype=np.int64),
+                    "frame_md5": digests,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(frames, FRAMES_SCHEMA)

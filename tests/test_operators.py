@@ -156,3 +156,98 @@ def test_ivf_lloyd_refinement_bounds_cell_skew(spark):
     m0, m2 = max_cell(0), max_cell(2)
     assert m2 < m0
     assert m2 <= 0.3 * 400
+
+
+def test_embedding_neardup_recall_and_precision(spark):
+    """Bucket-blocked near-dup pairs: every emitted pair really clears the
+    threshold (precision 1.0 by construction — exact re-score), and recall
+    vs the exact all-pairs set is positive and rises as planes shrink."""
+    import numpy as np
+
+    from seismic_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    E = np.vstack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in
+         emb.orderBy("vec_id").collect()]
+    )
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = np.floor(N @ N.T * 1e4 + 0.5) / 1e4  # F.round's HALF_UP for positives
+    iu = np.triu_indices_from(S, 1)
+    exact = {(int(a), int(b)) for a, b in zip(*iu) if S[a, b] >= 0.3}
+
+    got4 = {(r.a, r.b) for r in
+            embedding_neardup_pairs(emb, dim=64, threshold=0.3, n_planes=4).collect()}
+    got2 = {(r.a, r.b) for r in
+            embedding_neardup_pairs(emb, dim=64, threshold=0.3, n_planes=2).collect()}
+    assert got4 <= exact and got2 <= exact  # precision 1.0
+    assert got4 and got2 >= got4            # fewer planes ⇒ recall ↑ (supersets)
+    assert len(got2) / len(exact) >= len(got4) / len(exact) > 0
+
+
+def test_embedding_neardup_salting_output_identical(spark):
+    """Mega-bucket salting (bucket_cap=10) must not change the pair set."""
+    from seismic_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = {(r.a, r.b, r.cosine) for r in
+            embedding_neardup_pairs(emb, dim=64, threshold=0.3, n_planes=2).collect()}
+    salted = {(r.a, r.b, r.cosine) for r in
+              embedding_neardup_pairs(
+                  emb, dim=64, threshold=0.3, n_planes=2,
+                  bucket_cap=10, n_salts=8).collect()}
+    assert base == salted and base
+
+
+def test_multimodal_features_and_frames(spark):
+    """extract_features == numpy histogram; sample_frames == hashlib on the
+    same deterministic slicing; resize_plan arithmetic spot-checked."""
+    import hashlib
+
+    import numpy as np
+
+    from seismic_spark.operators.multimodal import (
+        decode_binary_column,
+        extract_features,
+        resize_plan,
+        sample_frames,
+    )
+
+    payloads = [(0, b""), (1, b"abc"), (2, bytes(range(256)) * 3),
+                (3, b"x" * 1000)]
+    df = spark.createDataFrame(payloads, "doc_id BIGINT, payload BINARY")
+
+    feats = {(r.doc_id, r.bin): r.frac for r in extract_features(df).collect()}
+    assert len(feats) == 4 * 16
+    for doc_id, p in payloads:
+        buf = np.frombuffer(p, dtype=np.uint8)
+        hist = np.bincount(buf >> 4, minlength=16) / max(len(buf), 1)
+        for b in range(16):
+            assert feats[(doc_id, b)] == pytest.approx(
+                np.floor(hist[b] * 1e4 + 0.5) / 1e4
+            )
+
+    frames = sample_frames(df, stride=3).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, p in payloads:
+        nb = len(p)
+        n_frames = 1 + nb % 120
+        fsize = max(1, nb // n_frames)
+        expect_idx = list(range(0, n_frames, 3))
+        rows = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == expect_idx
+        for r in rows:
+            sl = p[r.frame_idx * fsize : r.frame_idx * fsize + fsize]
+            assert r.frame_bytes == len(sl)
+            assert r.frame_md5 == hashlib.md5(sl).hexdigest()
+            assert r.n_frames == n_frames
+
+    plan = {r.doc_id: r for r in
+            resize_plan(decode_binary_column(df), max_w=100, max_h=100).collect()}
+    for doc_id, r in plan.items():
+        assert r.out_w <= 100 and r.out_h <= 100
+        assert r.scale <= 1.0
+        # aspect preserved to flooring
+        assert abs(r.out_w / r.width - r.out_h / r.height) < 0.02
