@@ -760,6 +760,10 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
 FROM events GROUP BY ALL
 """,
         "embedding_neardup": _neardup_sql(NEARDUP_THRESHOLD, NEARDUP_PLANES),
+        # the two multimodal oracles below slice/bin CHARACTERS while the
+        # Spark side works on UTF-8 BYTES — equal only because the synthetic
+        # documents are pure ASCII (same standing assumption as the
+        # mean_byte oracle above; asserted against testdata in round 3)
         "multimodal_features": """
 WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
 by AS (SELECT doc_id, unnest(list_transform(string_split(text, ''),

@@ -4,8 +4,11 @@ Cluster usage (north rule: `spark-submit --py-files` on a multi-executor
 cluster):
 
     zip -r seismic_spark.zip seismic_spark
-    spark-submit --py-files seismic_spark.zip -m seismic_spark.cli \
+    spark-submit --py-files seismic_spark.zip seismic_spark/cli.py \
         build --input /data/pages --output /indexes/cc --n-postings 3500
+
+(`tools/submit_demo.sh` runs exactly this against the sf0.001 testdata —
+the zip is the only way the executors see the package.)
 
 Local usage:
     python -m seismic_spark.cli build --input ... --output ...

@@ -85,15 +85,8 @@ def lsh_candidate_pairs(
     """Banding: docs sharing any (band, band_key) become candidate pairs.
 
     band_key concatenates the band's minhashes; the self-join shuffles on
-    (band, key).  Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
-
-    Mega-bucket salting: boilerplate content (empty pages, error templates)
-    can put millions of docs in ONE band bucket, making a single join task
-    quadratic.  Buckets larger than ``bucket_cap`` are salted: the left side
-    is split into ``n_salts`` groups by hash(doc_a) and the right side is
-    replicated to every salt, so each unordered pair still joins EXACTLY
-    once (at doc_a's salt) — output identical to the unsalted join — while
-    the biggest single join cell shrinks by n_salts×.
+    (band, key).  Returns (doc_a, doc_b) with doc_a < doc_b, distinct
+    (the same pair can collide in several bands).
     """
     banded = (
         signatures.withColumn("band", (F.col("sig_idx") / rows_per_band).cast("int"))
@@ -108,21 +101,48 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
-    w = Window.partitionBy("band", "band_key")
-    banded = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    return (
+        _salted_group_pairs(
+            banded, ["band", "band_key"], "doc_id", bucket_cap, n_salts
+        )
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _salted_group_pairs(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    bucket_cap: int,
+    n_salts: int,
+) -> DataFrame:
+    """All unordered id pairs (a, b), a < b, within each group of ``keys``.
+
+    Mega-group salting: boilerplate content (empty pages, error templates,
+    near-zero embeddings) can put millions of ids in ONE group, making a
+    single join task quadratic.  Groups larger than ``bucket_cap`` are
+    salted: the left side is split into ``n_salts`` subgroups by hash(a) and
+    the right side is replicated to every salt, so each unordered pair still
+    joins EXACTLY once (at a's salt) — output identical to the unsalted
+    join — while the biggest single join cell shrinks by n_salts×.
+
+    ``df`` should carry ONLY (id_col, *keys): wide payloads (embeddings)
+    belong in a post-pairing join, not replicated n_salts× through this one.
+    """
+    w = Window.partitionBy(*keys)
+    sized = df.withColumn("_bsz", F.count(F.lit(1)).over(w))
     big = F.col("_bsz") > bucket_cap
-    left = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        "band",
-        "band_key",
-        F.when(big, F.pmod(F.hash("doc_id"), F.lit(n_salts)))
+    left = sized.select(
+        F.col(id_col).alias("a"),
+        *keys,
+        F.when(big, F.pmod(F.hash(id_col), F.lit(n_salts)))
         .otherwise(F.lit(0))
         .alias("salt"),
     )
-    right = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        "band",
-        "band_key",
+    right = sized.select(
+        F.col(id_col).alias("b"),
+        *keys,
         F.explode(
             F.when(big, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
                 F.array(F.lit(0))
@@ -130,10 +150,9 @@ def lsh_candidate_pairs(
         ).alias("salt"),
     )
     return (
-        left.join(right, ["band", "band_key", "salt"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        left.join(right, [*keys, "salt"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
     )
 
 
@@ -230,13 +249,14 @@ def embedding_neardup_pairs(
     (probability ≈ n_planes · angle / π); recall is measured against the
     exact all-pairs oracle in tests.
 
-    Scale: the only data shuffle joins on the bucket key.  Mega-buckets
-    (near-zero or boilerplate embeddings collapse into one sign pattern) are
-    salted exactly like :func:`lsh_candidate_pairs` — left side split into
-    ``n_salts`` groups by hash(a), right side replicated — so each unordered
-    pair joins exactly once and the output is identical to the unsalted
-    join.  ``matmul=True`` buckets via one Arrow matmul per batch (the
-    10^9-vector path); the default JVM join path has a DuckDB SQL oracle.
+    Scale: pairing runs on (vec_id, bucket) rows ONLY — the bucket self-join
+    never shuffles or replicates the wide embedding arrays; they join onto
+    the surviving candidate pairs afterwards.  Mega-buckets (near-zero or
+    boilerplate embeddings collapse into one sign pattern) are salted via
+    the shared :func:`_salted_group_pairs` — each unordered pair joins
+    exactly once, output identical to the unsalted join.  ``matmul=True``
+    buckets via one Arrow matmul per batch (the 10^9-vector path); the
+    default JVM join path has a DuckDB SQL oracle.
     """
     from seismic_spark.operators.ann import (
         _fold_dot,
@@ -246,33 +266,20 @@ def embedding_neardup_pairs(
     )
 
     bucketer = lsh_buckets_matmul if matmul else lsh_buckets
-    b = bucketer(embeddings, dim, n_planes).join(
-        embeddings.select("vec_id", "embedding"), "vec_id"
+    buckets = bucketer(embeddings, dim, n_planes).select("vec_id", "bucket")
+    # one bucket per vector ⇒ pairs are already unique, no distinct needed
+    pairs = _salted_group_pairs(
+        buckets, ["bucket"], "vec_id", bucket_cap, n_salts
     )
-    w = Window.partitionBy("bucket")
-    b = b.withColumn("_bsz", F.count(F.lit(1)).over(w))
-    big = F.col("_bsz") > bucket_cap
-    left = b.select(
-        F.col("vec_id").alias("a"),
-        F.col("embedding").alias("a_emb"),
-        "bucket",
-        F.when(big, F.pmod(F.hash("vec_id"), F.lit(n_salts)))
-        .otherwise(F.lit(0))
-        .alias("salt"),
+    ea = embeddings.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("a_emb")
     )
-    right = b.select(
-        F.col("vec_id").alias("b"),
-        F.col("embedding").alias("b_emb"),
-        "bucket",
-        F.explode(
-            F.when(big, F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
-                F.array(F.lit(0))
-            )
-        ).alias("salt"),
+    eb = embeddings.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("b_emb")
     )
     return (
-        left.join(right, ["bucket", "salt"])
-        .filter(F.col("a") < F.col("b"))
+        pairs.join(ea, "a")
+        .join(eb, "b")
         .withColumn(
             "cosine",
             F.round(

@@ -91,6 +91,8 @@ def extract_features(
     Rows (not an array column) so the DuckDB oracle compares scalars.
     Swap the histogram for a model forward pass and only the body changes.
     """
+    if n_bins & (n_bins - 1) or not 0 < n_bins <= 256:
+        raise ValueError(f"n_bins must be a power of two in (0, 256], got {n_bins}")
     shift = 8 - int(np.log2(n_bins))  # byte >> shift ∈ [0, n_bins)
 
     def feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -101,10 +101,12 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         else:
             seq, start_ts, last_ts, n_ev, sum_v = 0, None, None, 0, 0.0
         out: list[tuple] = []
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # one sort over the WHOLE group: the iterator yields Arrow-chunk-
+        # sized pdfs with no cross-chunk ordering guarantee, so sorting
+        # each chunk alone would process a large user out of time order
+        chunks = [p for p in pdfs if not p.empty]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             # integer microseconds (exact in the DOUBLE state field up to
             # 2^53 µs ≈ year 2255) — same unit as the batch twin's
             # unix_micros, so gap decisions agree bit-for-bit
@@ -133,7 +135,9 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                     ],
                     "session_end": [_fmt_epoch(r[3]) for r in out],
                     "n_events": [r[4] for r in out],
-                    "sum_value": [round(r[5], 4) for r in out],
+                    # half-away-from-zero like F.round in the batch twin
+                    # (Python round() is banker's)
+                    "sum_value": [_round4(r[5]) for r in out],
                 }
             )
 
@@ -144,6 +148,13 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _round4(x: float) -> float:
+    """F.round's HALF_UP at 4dp (half away from zero, sign-aware)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e4 + 0.5) / 1e4, x)
 
 
 def _fmt_epoch(ts_us: float) -> str:

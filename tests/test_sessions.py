@@ -90,3 +90,58 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     }
     assert emitted == closed
     assert len(emitted) == 3  # users 1 (two closed) and 2 (one closed)
+
+
+def test_stream_sessionize_multichunk_out_of_order(spark, tmp_path):
+    """A large user whose micro-batch spans many Arrow chunks, written in
+    shuffled row order: the state fn must sort the WHOLE group (per-chunk
+    sorting would interleave sessions and break the batch contract)."""
+    import hashlib
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(events_dir, exist_ok=True)
+
+    # 30 sessions × 100 events: 1-min steps inside a session (99 min span),
+    # 150-min block stride ⇒ 51-min gaps between sessions (> 30-min cut);
+    # rows shuffled deterministically so chunk boundaries are out of order
+    rows = []
+    for i in range(3000):
+        ts = 1704067200 + (i // 100) * 9000 + (i % 100) * 60
+        rows.append((i, ts, 7, float(i % 5)))
+    rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
+    df = spark.createDataFrame(
+        [(i, ts, 7, "e", v, "{}") for i, ts, _, v in rows],
+        "event_id BIGINT, ts_epoch BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("ts_epoch").alias("ts"),
+        F.lit(7).cast("bigint").alias("user_id"),
+        "event_type", "value", "props",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        df.coalesce(1).write.mode("append").parquet(events_dir)
+        q = start_session_stream(spark, events_dir, out_dir, ckpt, gap_minutes=30)
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    emitted = {
+        (r.user_id, r.session_seq): (
+            r.session_start, r.session_end, r.n_events, r.sum_value
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = sessionize(df, gap_minutes=30)
+    closed = {
+        (r.user_id, r.session_seq): (
+            r.session_start, r.session_end, r.n_events, r.sum_value
+        )
+        for r in batch.filter(F.col("session_seq") < 30).collect()
+    }
+    assert len(emitted) == 29
+    assert emitted == closed
