@@ -39,6 +39,28 @@ def cmd_build(args) -> None:
     from seismic_spark.textprep import with_extracted_text
 
     spark = _spark(args)
+    if args.input_format != "parquet":
+        # reference-format inputs carry READY vectors (no tokenize/BM25) —
+        # build_from_vectors + save, mirroring from_json/from_tar/
+        # read_seismic_format (SURVEY §2.1 S1-S3)
+        from seismic_spark.index import SeismicSparkIndex
+        from seismic_spark.sources import vectors as vsrc
+
+        reader = {
+            "jsonl": vsrc.read_jsonl_vectors,
+            "tar": vsrc.read_tar_jsonl,
+            "seismic-bin": vsrc.read_seismic_bin,
+        }[args.input_format]
+        vecs = reader(spark, args.input).select("doc_id", "terms", "weights")
+        cfg = IndexConfig(
+            n_postings=args.n_postings, pruning=args.pruning,
+            summary_energy=args.summary_energy, blocking=args.blocking,
+            value_type=args.value_type,
+        )
+        idx = SeismicSparkIndex.build_from_vectors(spark, vecs, cfg)
+        idx.save(args.output)
+        print(json.dumps({"n_docs": idx.n_docs, "dim": idx.dim}))
+        return
     docs = spark.read.parquet(args.input)
     if "text" not in docs.columns and "html" in docs.columns:
         docs = with_extracted_text(docs)
@@ -99,6 +121,12 @@ def main(argv=None) -> None:
     b = sub.add_parser("build", help="build an index from a pages/docs parquet")
     b.add_argument("--input", required=True)
     b.add_argument("--output", required=True)
+    b.add_argument(
+        "--input-format", default="parquet",
+        choices=["parquet", "jsonl", "tar", "seismic-bin"],
+        help="parquet pages/docs (default, tokenize+BM25 path) or the "
+             "reference's vector formats (pre-weighted, no BM25 stage)",
+    )
     b.add_argument("--n-postings", type=int, default=3500)
     b.add_argument("--pruning", default="fixed", choices=["fixed", "global", "none"])
     b.add_argument("--summary-energy", type=float, default=1.0)

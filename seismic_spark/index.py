@@ -94,6 +94,99 @@ class SeismicSparkIndex:
             postings = None
         return cls(spark, vocab, forward, postings, n_docs, avgdl, cfg)
 
+    @classmethod
+    def build_from_vectors(
+        cls,
+        spark: SparkSession,
+        vectors: DataFrame,
+        config: IndexConfig | None = None,
+        cache: bool = True,
+        with_postings: bool = True,
+    ) -> "SeismicSparkIndex":
+        """Build from pre-weighted sparse vectors — the reference's PRIMARY
+        entry point (``from_json``/``from_tar``/``read_seismic_format``
+        consume ready (id, tokens, values) rows and never tokenize,
+        inverted_index_wrapper.rs:424-480).  Pairs with the §2.1 readers:
+        ``sources.vectors.read_jsonl_vectors`` / ``read_tar_jsonl`` (S1/S2,
+        token strings) and ``read_seismic_bin`` (S3, ready component ids).
+
+        ``vectors``: (doc_id, terms, weights).
+
+        - terms ARRAY<STRING>: vocab ids are assigned in sorted-token order
+          (the converter's portability rule,
+          convert_json_to_inner_format.py:109-111), P2-resolved by join.
+        - terms ARRAY<INT/BIGINT>: ids pass through untouched (the identity
+          vocab; df counts still computed for introspection).
+        - doc_id STRING: hashed to BIGINT via abs(xxhash64) — the engine's
+          url→id rule (P6); the external↔internal mapping is kept on
+          ``self.docmap`` for result remapping.
+
+        Weights are stored as given (no BM25 re-weighting — these vectors
+        are already weighted, e.g. SPLADE impact scores); ``value_type``
+        round-trips apply as in :meth:`build`.
+        """
+        from pyspark.sql.types import ArrayType, StringType
+
+        cfg = config or IndexConfig()
+        docmap = None
+        if isinstance(vectors.schema["doc_id"].dataType, StringType):
+            docmap = (
+                vectors.select(F.col("doc_id").alias("ext_id"))
+                .distinct()
+                .withColumn("doc_id", F.abs(F.xxhash64("ext_id")))
+            )
+            vectors = vectors.withColumn("doc_id", F.abs(F.xxhash64("doc_id")))
+
+        exploded = vectors.select(
+            "doc_id", F.explode(F.arrays_zip("terms", "weights")).alias("z")
+        ).select(
+            "doc_id",
+            F.col("z.terms").alias("_t"),
+            F.col("z.weights").cast("double").alias("weight"),
+        )
+        terms_type = vectors.schema["terms"].dataType
+        assert isinstance(terms_type, ArrayType)
+        if isinstance(terms_type.elementType, StringType):
+            vocab = voc.build_vocab(
+                vectors.select("doc_id", F.col("terms").alias("tokens"))
+            ).persist()
+            dtw = exploded.join(
+                vocab.select(F.col("term").alias("_t"), "term_id"), "_t"
+            ).select("doc_id", "term_id", "weight")
+        else:
+            vocab = (
+                exploded.groupBy(F.col("_t").cast("int").alias("term_id"))
+                .agg(F.count(F.lit(1)).alias("df"))
+                .select(
+                    F.col("term_id").cast("string").alias("term"), "df", "term_id"
+                )
+                .persist()
+            )
+            dtw = exploded.select(
+                "doc_id", F.col("_t").cast("int").alias("term_id"), "weight"
+            )
+        n_terms = vocab.count()
+        n_docs = vectors.count()
+        avgdl = (
+            vectors.agg(F.avg(F.size("terms"))).collect()[0][0] or 0.0
+        )
+        if cfg.value_type not in ("f64", None):
+            scale_max = None
+            if cfg.value_type in ("fixedu8", "fixedu16"):
+                scale_max = float(dtw.agg(F.max("weight")).collect()[0][0] or 0.0)
+            dtw = textprep.value_round_trip_col(dtw, cfg.value_type, scale_max)
+        dtw = dtw.persist()
+        forward = fwd.build_forward(dtw).persist()
+        if with_postings:
+            postings = pst.build_postings(dtw, forward, cfg, n_terms)
+            if cache:
+                postings = postings.persist()
+        else:
+            postings = None
+        idx = cls(spark, vocab, forward, postings, n_docs, float(avgdl), cfg)
+        idx.docmap = docmap
+        return idx
+
     # ------------------------------------------------------------ search ----
 
     def batch_search(

@@ -1,0 +1,277 @@
+"""Readers for the reference engine's own input formats (SURVEY.md §2.1).
+
+S1 — JSONL sparse vectors (inverted_index_wrapper.rs:554-571, json_utils.rs:
+10-61): one JSON object per line, ``{"id": <str|int>, "vector": {token:
+f32, ...}, "content": <str, optional>}``.  Parsed JVM-side with
+``from_json`` (no Python in the parse path); the untagged str|int id union
+is handled by a string-schema parse with an integer-schema fallback,
+mirroring json_utils.rs:10-15's serde(untagged).
+
+S2 — tar.gz JSONL (inverted_index_wrapper.rs:573-596): a gzipped tar whose
+FIRST member is the JSONL file (the reference reads only
+``archive.entries().next()``).  The gunzip+untar step is a per-file Arrow
+batch transform (tarfile has no JVM codec); the extracted lines then share
+S1's JVM ``from_json`` path.
+
+S3 — binary "inner format" (scripts/convert_json_to_inner_format.py:10-27,
+read via build_inverted_index.rs:187): ``u32le n_vectors``, then per vector
+``u32le len, len×u32le component ids, len×f32le values``.  Encode and
+decode are numpy-vectorized (one fancy-index gather/scatter per file; the
+only per-record Python is the O(n) offset walk forced by the
+variable-length layout).  A writer is provided for interop — build on
+Spark, export shards the reference binary can consume.
+
+Output schemas:
+    S1/S2 -> (doc_id STRING, terms ARRAY<STRING>, weights ARRAY<FLOAT>,
+              content STRING)   — terms sorted by token (deterministic;
+              numeric component-id sort happens at resolution, P3/P4)
+    S3   -> (doc_id BIGINT, terms ARRAY<INT>, weights ARRAY<FLOAT>)
+             — doc ids are the reference's sequential file order: files
+             sorted by path, ids offset by cumulative per-file counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VJSON_SCHEMA = (
+    "doc_id STRING, terms ARRAY<STRING>, weights ARRAY<FLOAT>, content STRING"
+)
+BIN_SCHEMA = "doc_id BIGINT, terms ARRAY<INT>, weights ARRAY<FLOAT>"
+
+
+# ----------------------------------------------------------- S1: JSONL -----
+
+
+def _parse_vector_lines(lines: DataFrame) -> DataFrame:
+    """value STRING -> VJSON_SCHEMA, entirely JVM-side.
+
+    Two ``from_json`` passes implement the untagged str|int id
+    (json_utils.rs:10-15): Spark's JSON parser nulls a numeric id under a
+    STRING schema, so the integer-schema parse backfills via coalesce.
+    """
+    s_str = "id STRING, vector MAP<STRING, FLOAT>, content STRING"
+    s_int = "id BIGINT, vector MAP<STRING, FLOAT>, content STRING"
+    j = lines.select(
+        F.from_json("value", s_str).alias("a"),
+        F.from_json("value", s_int).alias("b"),
+    ).select(
+        F.coalesce(
+            F.col("a.id"), F.col("b.id").cast("string")
+        ).alias("doc_id"),
+        F.coalesce(F.col("a.vector"), F.col("b.vector")).alias("vector"),
+        F.coalesce(F.col("a.content"), F.col("b.content")).alias("content"),
+    )
+    # map -> parallel arrays sorted by token string (deterministic order)
+    ent = F.array_sort(F.map_entries("vector"))
+    return j.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        F.transform(ent, lambda e: e["key"]).alias("terms"),
+        F.transform(ent, lambda e: e["value"]).alias("weights"),
+        "content",
+    )
+
+
+def read_jsonl_vectors(spark: SparkSession, path: str) -> DataFrame:
+    """S1: JSONL sparse-vector scan (plain or .gz — Spark's native codecs)."""
+    return _parse_vector_lines(spark.read.text(path))
+
+
+# ---------------------------------------------------------- S2: tar.gz -----
+
+
+def read_tar_jsonl(
+    spark: SparkSession, path: str, first_member_only: bool = True
+) -> DataFrame:
+    """S2: gunzip+untar, then the S1 parse path.
+
+    ``first_member_only=True`` matches the reference exactly (it reads only
+    ``entries().next()``, inverted_index_wrapper.rs:585); False concatenates
+    every regular member (a superset users ask for).  One tar = one Arrow
+    row; parallelism comes from many archives, as with the reference's
+    one-archive-per-shard layout.
+    """
+
+    def untar(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import io
+        import tarfile
+
+        for pdf in it:
+            for blob in pdf["content"]:
+                lines: list[str] = []
+                with tarfile.open(
+                    fileobj=io.BytesIO(gzip.decompress(bytes(blob))), mode="r"
+                ) as tar:
+                    for member in tar:
+                        if not member.isreg():
+                            continue
+                        f = tar.extractfile(member)
+                        if f is None:
+                            continue
+                        lines.extend(
+                            ln
+                            for ln in f.read().decode("utf-8").splitlines()
+                            if ln.strip()
+                        )
+                        if first_member_only:
+                            break
+                yield pd.DataFrame({"value": lines})
+
+    blobs = spark.read.format("binaryFile").load(path).select("content")
+    return _parse_vector_lines(blobs.mapInPandas(untar, "value STRING"))
+
+
+# ----------------------------------------------------- S3: inner format ----
+
+
+def _flat_ranges(lens: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] without a Python loop."""
+    total = int(lens.sum())
+    starts = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def encode_seismic_bin(
+    terms_list: list[np.ndarray], weights_list: list[np.ndarray]
+) -> bytes:
+    """Vectorized encoder for one shard of the inner format."""
+    n = len(terms_list)
+    lens = np.fromiter((len(t) for t in terms_list), dtype=np.int64, count=n)
+    out = np.zeros(1 + int((1 + 2 * lens).sum()), dtype="<u4")
+    out[0] = n
+    if n:
+        rec_starts = 1 + np.cumsum(1 + 2 * lens) - (1 + 2 * lens)
+        out[rec_starts] = lens
+        ids_all = (
+            np.concatenate([np.asarray(t, dtype=np.int64) for t in terms_list])
+            if lens.sum()
+            else np.empty(0, np.int64)
+        )
+        dst = np.repeat(rec_starts + 1, lens) + _flat_ranges(lens)
+        out[dst] = ids_all.astype("<u4")
+        vals_all = (
+            np.concatenate([np.asarray(w, dtype=np.float32) for w in weights_list])
+            if lens.sum()
+            else np.empty(0, np.float32)
+        )
+        out.view("<f4")[dst + np.repeat(lens, lens)] = vals_all
+    return out.tobytes()
+
+
+def decode_seismic_bin(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lens, ids_flat, vals_flat) from one shard.  The offset walk is the
+    only sequential step (record i+1's position depends on len_i); gathers
+    are single fancy-index ops."""
+    u = np.frombuffer(buf, dtype="<u4")
+    n = int(u[0]) if u.size else 0
+    lens = np.empty(n, dtype=np.int64)
+    offs = np.empty(n, dtype=np.int64)
+    off = 1
+    for i in range(n):
+        offs[i] = off
+        lens[i] = int(u[off])
+        off += 1 + 2 * int(u[off])
+    src = np.repeat(offs + 1, lens) + _flat_ranges(lens)
+    ids = u[src].astype(np.int64)
+    vals = u.view("<f4")[src + np.repeat(lens, lens)].astype(np.float32)
+    return lens, ids, vals
+
+
+def read_seismic_bin(spark: SparkSession, path: str) -> DataFrame:
+    """S3 scan -> BIN_SCHEMA with the reference's sequential doc ids.
+
+    ONE decode pass (persisted), then per-file counts (a tiny agg) become
+    broadcast offsets: files ordered by path, doc_id = file_base + local
+    index — identical ids to the reference reading the same shards
+    concatenated in path order.
+    """
+    raw_schema = (
+        "path STRING, local_i BIGINT, terms ARRAY<INT>, weights ARRAY<FLOAT>"
+    )
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                lens, ids, vals = decode_seismic_bin(bytes(blob))
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                yield pd.DataFrame(
+                    {
+                        "path": p,
+                        "local_i": np.arange(len(lens), dtype=np.int64),
+                        "terms": [
+                            ids[s:e].astype(np.int32) for s, e in zip(starts, ends)
+                        ],
+                        "weights": [vals[s:e] for s, e in zip(starts, ends)],
+                    }
+                )
+
+    rows = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(decode, raw_schema)
+        .persist()
+    )
+    counts = rows.groupBy("path").agg(F.count("*").alias("n")).collect()
+    base, offsets = 0, {}
+    for r in sorted(counts, key=lambda r: r["path"]):
+        offsets[r["path"]] = base
+        base += r["n"]
+    off_df = spark.createDataFrame(
+        [(p, b) for p, b in offsets.items()], "path STRING, base BIGINT"
+    )
+    out = (
+        rows.join(F.broadcast(off_df), "path")
+        .select(
+            (F.col("base") + F.col("local_i")).alias("doc_id"),
+            "terms",
+            "weights",
+        )
+    )
+    return out
+
+
+def write_seismic_bin(forward: DataFrame, path: str, shards: int = 1) -> None:
+    """Interop export: forward-style (doc_id, terms, weights) -> inner-format
+    shard files under ``path`` (part-00000.bin, ...).  Shards are doc_id
+    range partitions, so path-ordered concatenation preserves doc order and
+    the reference's reader sees ids 0..n-1 in our doc_id order.
+
+    Driver writes only file HANDLES; bytes are encoded executor-side per
+    shard and streamed back via toLocalIterator on a one-row-per-shard frame
+    — bounded by the largest shard, not the dataset (raise ``shards``).
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("doc_id")
+            blob = encode_seismic_bin(
+                [np.asarray(t) for t in pdf["terms"]],
+                [np.asarray(w) for w in pdf["weights"]],
+            )
+            yield pd.DataFrame(
+                {"shard_min": [int(pdf["doc_id"].iloc[0])], "blob": [blob]}
+            )
+
+    packed = (
+        forward.select("doc_id", "terms", "weights")
+        .repartitionByRange(shards, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(pack, "shard_min BIGINT, blob BINARY")
+    )
+    rows = sorted(packed.toLocalIterator(), key=lambda r: r["shard_min"])
+    for i, r in enumerate(rows):
+        with open(os.path.join(path, f"part-{i:05d}.bin"), "wb") as f:
+            f.write(bytes(r["blob"]))
