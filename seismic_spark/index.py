@@ -187,6 +187,22 @@ class SeismicSparkIndex:
         idx.docmap = docmap
         return idx
 
+    def remap_results(self, results: DataFrame) -> DataFrame:
+        """P6 analogue (remap_results/remap_doc_ids,
+        inverted_index_wrapper.rs:56-71): translate internal BIGINT doc ids
+        back to the external string ids of a vector-built index.  Broadcast
+        join on the docmap (one row per doc — small relative to results at
+        query time); no-op when the index was built from BIGINT ids."""
+        docmap = getattr(self, "docmap", None)
+        if docmap is None:
+            return results
+        return (
+            results.join(F.broadcast(docmap), "doc_id")
+            .drop("doc_id")
+            .withColumnRenamed("ext_id", "doc_id")
+            .select(*results.columns)
+        )
+
     # ------------------------------------------------------------ search ----
 
     def batch_search(

@@ -166,6 +166,11 @@ def test_build_from_vectors_jsonl(spark, tmp_path):
     ]
     # scores: d0 = 1.5 + 3*0.25 = 2.25 > id(7) = 2.0 > d2 = 0.125
     assert [r["score"] for r in got] == pytest.approx([2.25, 2.0, 0.125])
+    # P6 remap: internal BIGINT ids -> original external string ids
+    remapped = idx.remap_results(idx.search("q0", *q[0][1:], k=3))
+    assert [(r["rank"], r["doc_id"]) for r in remapped.orderBy("rank").collect()] == [
+        (1, "d0"), (2, "7"), (3, "d2")
+    ]
 
 
 def test_build_from_vectors_bin_int_ids(spark, tmp_path):
