@@ -310,7 +310,12 @@ def quantize_u8(values: np.ndarray, *, ceil: bool = False) -> tuple[np.ndarray, 
     hi = np.float32(v.max())
     quant = np.float32((float(hi) - float(lo)) / 255.0)
     if quant <= 0.0:
-        return np.zeros(v.size, dtype=np.uint8), float(lo), 0.0
+        # hi == lo, or (hi-lo)/255 underflowed to an f32 zero (possible only
+        # at the subnormal boundary).  All codes collapse to one value; in
+        # ceil mode that value must be hi, not lo, or the underflow case
+        # would dequantize BELOW the inputs and break the upper-bound
+        # contract that makes block skipping exact.
+        return np.zeros(v.size, dtype=np.uint8), float(hi if ceil else lo), 0.0
     scaled = (v - lo) / quant
     # nearest mode matches Rust f32::round (half away from zero), utils.rs:86
     codes = np.ceil(scaled) if ceil else np.floor(scaled + np.float32(0.5))

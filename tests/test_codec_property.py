@@ -9,7 +9,7 @@ scale.
 """
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from seismic_spark import codec
@@ -66,6 +66,12 @@ def test_delta_multi_roundtrip(rows):
         max_size=100,
     ),
     st.booleans(),
+)
+@example(
+    # f32-subnormal boundary: (hi-lo)/255 underflows to f32 zero, forcing
+    # the degenerate one-value path — in ceil mode it must collapse to hi
+    vals=[1.1754943508222875e-38, 1.175494351e-38],
+    ceil=True,
 )
 def test_quantize_u8_bounds(vals, ceil):
     """Dequantized codes stay within one quantum of the input; with

@@ -43,7 +43,36 @@ def main() -> None:
     ap.add_argument("--healthy-min", type=float, default=800.0)
     ap.add_argument("--ceiling", type=float, default=0.69,
                     help="calibrated single-box 4->16 memory ceiling")
+    ap.add_argument("--md", action="store_true",
+                    help="emit the BENCH/BASELINE.md samples-table markdown "
+                         "instead of JSON (every attempt, valid or rejected — "
+                         "rejections document the gate doing its job)")
     args = ap.parse_args()
+
+    if args.md:
+        print("| # | order | build 4c | build 16c | eff raw | brackets (MB/s) "
+              "| in-run min | verdict |")
+        print("|---|---|---|---|---|---|---|---|")
+        i = 0
+        for line in open(args.inp):
+            r = json.loads(line)
+            if r.get("docs") != args.docs:
+                continue
+            i += 1
+            if "error" in r and r["error"]:
+                print(f"| {i} | {r['order']} | — | — | — | — | — | "
+                      f"errored: {r['error'][:60]} |")
+                continue
+            p = r["pair"]
+            verdict = "**valid**" if r.get("valid") else "rejected (host throttle)"
+            brackets = "/".join(str(int(c)) for c in r["canaries"])
+            print(
+                f"| {i} | {'→'.join(str(o) for o in r['order'])}c "
+                f"| {p['4']['build_sec']:.1f} s | {p['16']['build_sec']:.1f} s "
+                f"| {r['eff_build']:.3f} | {brackets} "
+                f"| {r.get('in_run_min', '—')} | {verdict} |"
+            )
+        return
 
     pairs, legs = [], {"4": [], "16": []}
     for line in open(args.inp):
