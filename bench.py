@@ -7,7 +7,11 @@ local[$SPARK_GRAFT_CPUS].  Times the engine's headline paths:
   search_exact  batch top-10, heap_factor=1.0 (exact), 100 queries
   search_pruned batch top-10 on a statically pruned index, heap_factor=0.8
   search_2p     same pruned batch with two-phase θ tightening (first_sorted)
-  knn           κ-NN graph over the pruned corpus — ONE distributed job
+  knn           κ-NN graph over the pruned corpus — ONE distributed job.
+                NOTE: r3 changed the pruned index under this line from
+                geometric e=0.8 to the kmeans e=0.5 serving winner; kmeans
+                makes ~5× more blocks, measured 1.6× slower knn side-by-side
+                — r3 knn times are not comparable to r2's.
   bruteforce    exact full-scan top-10, 20 queries (oracle path)
   dedup_lsh     minhash signatures + LSH candidate pairs
   ann_cosine    brute-force cosine top-5 over embeddings
