@@ -65,9 +65,20 @@ def cmd_build(args) -> None:
     if "text" not in docs.columns and "html" in docs.columns:
         docs = with_extracted_text(docs)
     if "doc_id" not in docs.columns:
-        from pyspark.sql import functions as F
+        # url→id fallback: dense ids in sorted-url order (collision-free by
+        # construction at any corpus size — abs(xxhash64) is a 63-bit space
+        # that expects ≈ n²/2^64 silently-merged url pairs by the birthday
+        # bound, ~5×10^4 at the 10^12-doc design point).  Supply your own
+        # BIGINT doc_id column to skip this join.
+        from seismic_spark.vocab import assign_ordered_ids
 
-        docs = docs.withColumn("doc_id", F.abs(F.xxhash64("url")))
+        docs = docs.join(
+            assign_ordered_ids(
+                docs.select("url").distinct(), "url",
+                id_col="doc_id", id_type="bigint",
+            ),
+            "url",
+        )
     cfg = IndexConfig(
         n_postings=args.n_postings,
         pruning=args.pruning,
@@ -103,7 +114,10 @@ def cmd_search(args) -> None:
         "q0", args.query, k=args.k, query_cut=args.query_cut,
         heap_factor=args.heap_factor, two_phase=args.two_phase,
     )
-    for r in res.collect():
+    # vector-built indexes carry a persisted docmap — print the ORIGINAL
+    # external ids, not the internal BIGINTs (no-op for text-built indexes)
+    res = idx.remap_results(res)
+    for r in sorted(res.collect(), key=lambda r: r.rank):
         print(f"{r.rank}\t{r.doc_id}\t{r.score:.4f}")
 
 

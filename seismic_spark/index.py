@@ -48,6 +48,15 @@ class SeismicSparkIndex:
         # >0 when the postings snapshot is directory-partitioned by
         # term_bucket = term_id % term_buckets (save/load) — search prunes
         self.term_buckets = term_buckets
+        # external-string-id ↔ internal-BIGINT-id map (vector builds, P6)
+        self.docmap: DataFrame | None = None
+        # (doc_id, content) ride-along — the reference's document_content
+        # store (inverted_index_wrapper.rs:93-107, load_content=True default)
+        self.content: DataFrame | None = None
+        # per-INSTANCE ubs cache lifecycle (search.retire_caches): a new
+        # search on this index retires this index's previous ubs cache only,
+        # so interleaved searches on two indexes never thrash each other
+        self._ubs_caches: list[DataFrame] = []
 
     # ------------------------------------------------------------- build ----
 
@@ -61,18 +70,29 @@ class SeismicSparkIndex:
         text_col: str = "text",
         cache: bool = True,
         with_postings: bool = True,
+        vocab: DataFrame | None = None,
     ) -> "SeismicSparkIndex":
         """Tokenize → BM25-weight → vocab/forward/postings tables.
 
         ``docs`` needs (id_col, text_col); use
         :func:`seismic_spark.textprep.with_extracted_text` first for raw
         pages with only ``html``.
+
+        ``vocab``: an existing (term, df, term_id) table from another index
+        — the ``input_token_to_id_map`` build parameter (pylib/mod.rs:333-384,
+        inverted_index_wrapper.rs:398-422): separately built indexes share
+        term ids, enabling cross-index query routing / federated shards.
+        Tokens absent from the supplied vocab are dropped (the same silent
+        drop as query resolution, P3).  df counts stay those of the vocab's
+        source corpus — exactly the reference, which reuses the supplied
+        map's ids verbatim.
         """
         cfg = config or IndexConfig()
         toks = textprep.tokenize(docs.select(id_col, text_col), text_col)
         toks = toks.persist()
         n_docs, avgdl = textprep.corpus_stats(toks)
-        vocab = voc.build_vocab(toks, id_col).persist()
+        if vocab is None:
+            vocab = voc.build_vocab(toks, id_col).persist()
         n_terms = vocab.count()
         tf_df = textprep.term_frequencies(toks, id_col)
         dtw = textprep.bm25_weights(tf_df, vocab, n_docs, avgdl, id_col)
@@ -102,6 +122,9 @@ class SeismicSparkIndex:
         config: IndexConfig | None = None,
         cache: bool = True,
         with_postings: bool = True,
+        id_scheme: str = "dense",
+        load_content: bool = True,
+        vocab: DataFrame | None = None,
     ) -> "SeismicSparkIndex":
         """Build from pre-weighted sparse vectors — the reference's PRIMARY
         entry point (``from_json``/``from_tar``/``read_seismic_format``
@@ -110,16 +133,38 @@ class SeismicSparkIndex:
         ``sources.vectors.read_jsonl_vectors`` / ``read_tar_jsonl`` (S1/S2,
         token strings) and ``read_seismic_bin`` (S3, ready component ids).
 
-        ``vectors``: (doc_id, terms, weights).
+        ``vectors``: (doc_id, terms, weights[, content]).
 
         - terms ARRAY<STRING>: vocab ids are assigned in sorted-token order
           (the converter's portability rule,
           convert_json_to_inner_format.py:109-111), P2-resolved by join.
         - terms ARRAY<INT/BIGINT>: ids pass through untouched (the identity
           vocab; df counts still computed for introspection).
-        - doc_id STRING: hashed to BIGINT via abs(xxhash64) — the engine's
-          url→id rule (P6); the external↔internal mapping is kept on
-          ``self.docmap`` for result remapping.
+        - doc_id STRING: mapped to internal BIGINT ids per ``id_scheme``;
+          the external↔internal mapping is kept on ``self.docmap`` for
+          result remapping (P6) and persisted by :meth:`save`.
+
+        ``id_scheme`` (string external ids only):
+        - "dense" (default): ids 0..n-1 assigned in sorted-external-id order
+          (vocab.assign_ordered_ids) — collision-free BY CONSTRUCTION at any
+          corpus size, matching the reference's own dense internal ids
+          (json_utils.rs:10-41 normalizes external ids; postings store the
+          dense row number).  One extra build-time shuffle join.
+        - "hash64": abs(xxhash64(ext_id)) — join-free, but a 63-bit space
+          expects ≈ n²/2^64 colliding pairs by the birthday bound: ~5×10^4
+          silently merged doc pairs at the 10^12-doc design point.  Only for
+          small corpora / backward compatibility.
+
+        ``load_content=True`` (the reference's default, pylib/mod.rs:327-384)
+        keeps a (doc_id, content) ride-along table when ``vectors`` carries a
+        ``content`` column (S1/S2 readers emit one) — served by
+        :meth:`get_doc_text` like the reference's ``get_doc_text``
+        (inverted_index_wrapper.rs:288-293).
+
+        ``vocab``: an existing (term, df, term_id) table — the
+        ``input_token_to_id_map`` parameter (inverted_index_wrapper.rs:
+        398-422): reuse another index's term ids; tokens not in the supplied
+        vocab are dropped (P3 silent-drop semantics).
 
         Weights are stored as given (no BM25 re-weighting — these vectors
         are already weighted, e.g. SPLADE impact scores); ``value_type``
@@ -130,12 +175,33 @@ class SeismicSparkIndex:
         cfg = config or IndexConfig()
         docmap = None
         if isinstance(vectors.schema["doc_id"].dataType, StringType):
-            docmap = (
-                vectors.select(F.col("doc_id").alias("ext_id"))
-                .distinct()
-                .withColumn("doc_id", F.abs(F.xxhash64("ext_id")))
-            )
-            vectors = vectors.withColumn("doc_id", F.abs(F.xxhash64("doc_id")))
+            if id_scheme == "dense":
+                docmap = voc.assign_ordered_ids(
+                    vectors.select(F.col("doc_id").alias("ext_id")).distinct(),
+                    "ext_id",
+                    id_col="doc_id",
+                    id_type="bigint",
+                ).persist()
+                vectors = (
+                    vectors.withColumnRenamed("doc_id", "ext_id")
+                    .join(docmap, "ext_id")
+                    .drop("ext_id")
+                )
+            elif id_scheme == "hash64":
+                docmap = (
+                    vectors.select(F.col("doc_id").alias("ext_id"))
+                    .distinct()
+                    .withColumn("doc_id", F.abs(F.xxhash64("ext_id")))
+                )
+                vectors = vectors.withColumn(
+                    "doc_id", F.abs(F.xxhash64("doc_id"))
+                )
+            else:
+                raise ValueError(f"unknown id_scheme {id_scheme!r}")
+
+        content = None
+        if load_content and "content" in vectors.columns:
+            content = vectors.select("doc_id", "content").persist()
 
         exploded = vectors.select(
             "doc_id", F.explode(F.arrays_zip("terms", "weights")).alias("z")
@@ -147,21 +213,26 @@ class SeismicSparkIndex:
         terms_type = vectors.schema["terms"].dataType
         assert isinstance(terms_type, ArrayType)
         if isinstance(terms_type.elementType, StringType):
-            vocab = voc.build_vocab(
-                vectors.select("doc_id", F.col("terms").alias("tokens"))
-            ).persist()
+            if vocab is None:
+                vocab = voc.build_vocab(
+                    vectors.select("doc_id", F.col("terms").alias("tokens"))
+                ).persist()
             dtw = exploded.join(
                 vocab.select(F.col("term").alias("_t"), "term_id"), "_t"
             ).select("doc_id", "term_id", "weight")
         else:
-            vocab = (
-                exploded.groupBy(F.col("_t").cast("int").alias("term_id"))
-                .agg(F.count(F.lit(1)).alias("df"))
-                .select(
-                    F.col("term_id").cast("string").alias("term"), "df", "term_id"
+            if vocab is None:
+                vocab = (
+                    exploded.groupBy(F.col("_t").cast("int").alias("term_id"))
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .select(
+                        F.col("term_id").cast("string").alias("term"), "df", "term_id"
+                    )
+                    .persist()
                 )
-                .persist()
-            )
+            # integer component ids ARE term ids — pass through untouched
+            # regardless of a supplied vocab (inverted_index_wrapper.rs'
+            # binary path never re-maps component ids)
             dtw = exploded.select(
                 "doc_id", F.col("_t").cast("int").alias("term_id"), "weight"
             )
@@ -185,23 +256,52 @@ class SeismicSparkIndex:
             postings = None
         idx = cls(spark, vocab, forward, postings, n_docs, float(avgdl), cfg)
         idx.docmap = docmap
+        idx.content = content
         return idx
 
     def remap_results(self, results: DataFrame) -> DataFrame:
         """P6 analogue (remap_results/remap_doc_ids,
         inverted_index_wrapper.rs:56-71): translate internal BIGINT doc ids
-        back to the external string ids of a vector-built index.  Broadcast
-        join on the docmap (one row per doc — small relative to results at
-        query time); no-op when the index was built from BIGINT ids."""
+        back to the external string ids of a vector-built index.  Plain join
+        on doc_id — the docmap is CORPUS-sized (one row per document), so it
+        must never be broadcast; AQE broadcasts the results side instead
+        when it is small (top-k of an interactive batch), and κ-NN-scale
+        result sets get a shuffle join.  No-op when the index was built from
+        BIGINT ids."""
         docmap = getattr(self, "docmap", None)
         if docmap is None:
             return results
         return (
-            results.join(F.broadcast(docmap), "doc_id")
+            results.join(docmap, "doc_id")
             .drop("doc_id")
             .withColumnRenamed("ext_id", "doc_id")
             .select(*results.columns)
         )
+
+    def get_doc_text(self, doc_id) -> str | None:
+        """Content lookup (P7 / ``get_doc_text``,
+        inverted_index_wrapper.rs:288-293): the stored ``content`` of one
+        document, or None when absent.  Accepts an internal BIGINT id or —
+        on a docmap-carrying index — the external string id.  Interactive
+        single-row lookup (driver collect of a key-filtered scan); for bulk
+        joins use ``self.content`` directly."""
+        content = getattr(self, "content", None)
+        if content is None:
+            return None
+        if isinstance(doc_id, str) and getattr(self, "docmap", None) is not None:
+            rows = (
+                self.docmap.filter(F.col("ext_id") == doc_id)
+                .join(content, "doc_id")
+                .select("content")
+                .take(1)
+            )
+        else:
+            rows = (
+                content.filter(F.col("doc_id") == int(doc_id))
+                .select("content")
+                .take(1)
+            )
+        return rows[0]["content"] if rows else None
 
     # ------------------------------------------------------------ search ----
 
@@ -212,6 +312,7 @@ class SeismicSparkIndex:
         query_cut: int = 10,
         heap_factor: float = 1.0,
         two_phase: bool | None = None,
+        n_knn: int = 0,
     ) -> DataFrame:
         """(query_id, rank, doc_id, score) for a batch of term-weighted
         queries; unknown terms silently dropped (P3).  ``two_phase`` enables
@@ -221,7 +322,12 @@ class SeismicSparkIndex:
         (summary_energy < 1, or nearest-quantized summaries via
         quant_ceil=False) or the search itself is approximate (hf < 1) —
         OFF on the exact path, where phase-0 θ already skips everything
-        skippable and phase 1 would only add a pass."""
+        skippable and phase 1 would only add a pass.
+
+        ``n_knn > 0`` refines results with each hit's stored κ-NN neighbors
+        (Q7) — the reference takes ``n_knn`` on every search
+        (pylib/mod.rs:490-533); requires :meth:`build_knn` (or a loaded knn
+        table on ``self.knn``) first."""
         if two_phase is None:
             two_phase = (
                 self.config.summary_energy < 1.0
@@ -229,7 +335,7 @@ class SeismicSparkIndex:
                 or heap_factor < 1.0
             )
         qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
-        return srch.batch_search(
+        base = srch.batch_search(
             self.spark,
             self._postings_for(qvecs),
             self.forward,
@@ -238,6 +344,16 @@ class SeismicSparkIndex:
             query_cut=query_cut,
             heap_factor=heap_factor,
             two_phase=two_phase,
+            cache_registry=self._ubs_caches,
+        )
+        if n_knn <= 0:
+            return base
+        from seismic_spark import knn as knn_mod
+
+        if getattr(self, "knn", None) is None:
+            raise ValueError("n_knn > 0 requires build_knn() first")
+        return knn_mod.refine(
+            base, self.knn, self.forward, qvecs, k=k, n_knn=n_knn
         )
 
     def prepare_serving(self) -> "SeismicSparkIndex":
@@ -299,14 +415,16 @@ class SeismicSparkIndex:
         query_cut: int = 10,
         heap_factor: float = 1.0,
         two_phase: bool | None = None,
+        n_knn: int = 0,
     ) -> DataFrame:
         return self.batch_search(
-            [(query_id, terms, weights)], k, query_cut, heap_factor, two_phase
+            [(query_id, terms, weights)], k, query_cut, heap_factor, two_phase,
+            n_knn,
         )
 
     def search_text(
         self, query_id: str, text: str, k: int = 10, query_cut: int = 10,
-        heap_factor: float = 1.0, two_phase: bool | None = None,
+        heap_factor: float = 1.0, two_phase: bool | None = None, n_knn: int = 0,
     ) -> DataFrame:
         """Free-text query: tokenize and weight terms by query-side idf·tf."""
         toks = [t for t in text.lower().split(" ") if t]
@@ -315,7 +433,7 @@ class SeismicSparkIndex:
         c = Counter(toks)
         return self.batch_search(
             [(query_id, list(c), [float(v) for v in c.values()])], k, query_cut,
-            heap_factor, two_phase,
+            heap_factor, two_phase, n_knn,
         )
 
     def bruteforce(
@@ -351,6 +469,7 @@ class SeismicSparkIndex:
         base = srch.batch_search(
             self.spark, self.postings, self.forward, qvecs,
             k=k, query_cut=query_cut, heap_factor=heap_factor,
+            cache_registry=self._ubs_caches,
         )
         return knn_mod.refine(base, self.knn, self.forward, qvecs, k=k, n_knn=n_knn)
 
@@ -399,7 +518,13 @@ class SeismicSparkIndex:
 
     @property
     def dim(self) -> int:
-        return self.vocab.count()
+        """Number of dimensions = id of the largest component + 1
+        (inverted_index.rs:400-403) — NOT the distinct-term count: the
+        S3/integer-term identity-vocab path passes component ids through
+        non-contiguously, so max+1 is the reference's definition.  For
+        dense string-token vocabs the two coincide."""
+        row = self.vocab.agg(F.max("term_id").alias("m")).collect()[0]
+        return int(row["m"]) + 1 if row["m"] is not None else 0
 
     def nnz(self) -> int:
         return fwd.forward_nnz(self.forward)
@@ -571,6 +696,19 @@ class SeismicSparkIndex:
                 os.path.join(path, "forward")
             )
         self.vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+        # external-id map + content ride-along: without these a vector-built
+        # index would lose its string ids / document text across save/load
+        # (the reference serializes both into .index.seismic)
+        if getattr(self, "docmap", None) is not None:
+            meta["has_docmap"] = True
+            self.docmap.write.mode("overwrite").parquet(
+                os.path.join(path, "docmap")
+            )
+        if getattr(self, "content", None) is not None:
+            meta["has_content"] = True
+            self.content.write.mode("overwrite").parquet(
+                os.path.join(path, "content")
+            )
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
 
@@ -621,7 +759,7 @@ class SeismicSparkIndex:
             forward = forward.mapInPandas(
                 unpack, "doc_id BIGINT, terms ARRAY<INT>, weights ARRAY<DOUBLE>"
             )
-        return cls(
+        idx = cls(
             spark,
             spark.read.parquet(os.path.join(path, "vocab")),
             forward,
@@ -631,3 +769,8 @@ class SeismicSparkIndex:
             IndexConfig(**meta["config"]),
             term_buckets=int(meta.get("term_buckets", 0)),
         )
+        if meta.get("has_docmap"):
+            idx.docmap = spark.read.parquet(os.path.join(path, "docmap"))
+        if meta.get("has_content"):
+            idx.content = spark.read.parquet(os.path.join(path, "content"))
+        return idx

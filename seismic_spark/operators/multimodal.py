@@ -173,6 +173,10 @@ def sample_frames(
     carries the frame's byte length and md5 — the real plumbing (explode
     factor rows out of Arrow batches, binary slicing per frame) is what an
     actual frame sampler needs; only the slice→decode step is fake.
+
+    Frame counts, indices, offsets, and lengths are computed array-wise for
+    the whole Arrow batch; the only per-frame Python is the md5 of each
+    slice, which is inherently per-item (a real decoder call sits there).
     """
     import hashlib
 
@@ -180,25 +184,28 @@ def sample_frames(
         for pdf in it:
             if pdf.empty:
                 continue
-            ids, idxs, nfs, fbs, digests = [], [], [], [], []
-            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                buf = bytes(p)
-                nb = len(buf)
-                n_frames = 1 + nb % 120
-                fsize = max(1, nb // n_frames)
-                for i in range(0, n_frames, stride):
-                    sl = buf[i * fsize : i * fsize + fsize]
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    nfs.append(n_frames)
-                    fbs.append(len(sl))
-                    digests.append(hashlib.md5(sl).hexdigest())
+            bufs = [bytes(p) for p in pdf[payload_col]]
+            nb = np.fromiter((len(b) for b in bufs), np.int64, count=len(bufs))
+            n_frames = 1 + nb % 120
+            fsize = np.maximum(1, nb // n_frames)
+            n_samp = (n_frames + stride - 1) // stride
+            total = int(n_samp.sum())
+            row = np.repeat(np.arange(len(bufs), dtype=np.int64), n_samp)
+            grp_starts = np.cumsum(n_samp) - n_samp
+            pos = np.arange(total, dtype=np.int64) - np.repeat(grp_starts, n_samp)
+            frame_idx = pos * stride
+            off = frame_idx * fsize[row]
+            ln = np.clip(nb[row] - off, 0, fsize[row])
+            digests = [
+                hashlib.md5(bufs[r][o : o + l]).hexdigest()
+                for r, o, l in zip(row.tolist(), off.tolist(), ln.tolist())
+            ]
             yield pd.DataFrame(
                 {
-                    "doc_id": np.asarray(ids, dtype=np.int64),
-                    "frame_idx": np.asarray(idxs, dtype=np.int32),
-                    "n_frames": np.asarray(nfs, dtype=np.int32),
-                    "frame_bytes": np.asarray(fbs, dtype=np.int64),
+                    "doc_id": pdf[id_col].to_numpy()[row],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "n_frames": n_frames[row].astype(np.int32),
+                    "frame_bytes": ln,
                     "frame_md5": digests,
                 }
             )

@@ -408,17 +408,18 @@ def _decode_docs(block_rows: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------- batch search ----
 
-# ubs frames persisted by previous batch_search calls; retired (unpersist) at
-# the next call so a long-lived session issuing many searches never
-# accumulates dead cached RDDs in executor storage memory.  A result
-# DataFrame collected AFTER a newer search recomputes its subtree — correct,
-# just un-cached.
-_LIVE_UBS_CACHES: list[DataFrame] = []
 
+def retire_caches(cache_registry: list[DataFrame]) -> None:
+    """Unpersist every DataFrame in a caller-scoped cache registry.
 
-def _retire_ubs_caches() -> None:
-    while _LIVE_UBS_CACHES:
-        df = _LIVE_UBS_CACHES.pop()
+    ubs frames persisted by previous batch_search calls are retired at the
+    caller's next call so a long-lived session issuing many searches never
+    accumulates dead cached RDDs in executor storage memory.  A result
+    DataFrame collected AFTER the retirement recomputes its subtree —
+    correct, just un-cached.
+    """
+    while cache_registry:
+        df = cache_registry.pop()
         try:
             df.unpersist(blocking=False)
         except Exception:
@@ -435,6 +436,7 @@ def batch_search(
     heap_factor: float = 1.0,
     two_phase: bool = False,
     broadcast_queries: bool | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Dynamically-pruned batch top-k (Q1/Q9 analogue), single logical plan.
 
@@ -444,6 +446,13 @@ def batch_search(
     with distinct ids; unsorted rows are repaired batch-side and duplicate
     ids merged by weight sum (see _query_keys).  Returns (query_id, rank,
     doc_id, score); no driver-side loops or mid-plan actions.
+
+    ``cache_registry``: caller-scoped lifecycle for the persisted ubs frame
+    (SeismicSparkIndex passes a per-instance list, so interleaved searches on
+    DIFFERENT indexes never thrash each other's cache).  Previous entries are
+    retired, the new cache appended.  With None the cache is persisted
+    unmanaged — Spark's LRU block eviction reclaims it under memory pressure,
+    or the caller unpersists explicitly.
     """
     qdf, small = _as_queries_df(spark, queries)
     if broadcast_queries is None:
@@ -459,9 +468,11 @@ def batch_search(
         # small query batches: cache the block scan — θ is an aggregate of
         # ubs, and without the cache Catalyst executes the whole
         # postings-join→block-scan subtree once per consumer
-        _retire_ubs_caches()
+        if cache_registry is not None:
+            retire_caches(cache_registry)
         ubs = ubs.persist()
-        _LIVE_UBS_CACHES.append(ubs)
+        if cache_registry is not None:
+            cache_registry.append(ubs)
 
     survivors = _theta_survivors(
         ubs, forward, qdf, k, heap_factor, two_phase, broadcast_queries

@@ -199,6 +199,15 @@ def read_seismic_bin(spark: SparkSession, path: str) -> DataFrame:
         for pdf in it:
             for p, blob in zip(pdf["path"], pdf["content"]):
                 lens, ids, vals = decode_seismic_bin(bytes(blob))
+                # the on-disk format is u32 but the engine's term ids are
+                # int32 throughout — refuse to wrap negative silently
+                if ids.size and int(ids.max()) >= 2**31:
+                    raise ValueError(
+                        f"{p}: component id {int(ids.max())} >= 2^31 — the "
+                        "inner format allows full u32 ids but this engine "
+                        "stores term ids as int32; remap the component "
+                        "space below 2^31 before ingesting"
+                    )
                 ends = np.cumsum(lens)
                 starts = ends - lens
                 yield pd.DataFrame(

@@ -17,10 +17,16 @@ from pyspark.sql import functions as F
 
 
 def assign_ordered_ids(
-    df: DataFrame, key: str, id_col: str = "term_id", num_ranges: int | None = None
+    df: DataFrame,
+    key: str,
+    id_col: str = "term_id",
+    num_ranges: int | None = None,
+    id_type: str = "int",
 ) -> DataFrame:
     """Add a dense 0-based ``id_col`` equal to the rank of ``key`` in global
-    sorted order.  ``key`` values must be unique (post-groupBy)."""
+    sorted order.  ``key`` values must be unique (post-groupBy).
+    ``id_type="bigint"`` for id spaces that can exceed 2^31 (doc ids at the
+    10^12-doc design point; term vocabularies stay int)."""
     sc_parallelism = df.sparkSession.sparkContext.defaultParallelism
     p = num_ranges or max(sc_parallelism, 8)
     parts = (
@@ -45,7 +51,7 @@ def assign_ordered_ids(
     out = (
         parts.withColumn("_rn", F.row_number().over(w) - 1)
         .join(F.broadcast(off_df), "_pid")
-        .withColumn(id_col, (F.col("_off") + F.col("_rn")).cast("int"))
+        .withColumn(id_col, (F.col("_off") + F.col("_rn")).cast(id_type))
         .drop("_pid", "_rn", "_off")
     )
     return out

@@ -47,6 +47,12 @@ def main() -> None:
                     help="emit the BENCH/BASELINE.md samples-table markdown "
                          "instead of JSON (every attempt, valid or rejected — "
                          "rejections document the gate doing its job)")
+    ap.add_argument("--valid-gate", type=float, default=900.0,
+                    help="bracket-canary floor used at collection time "
+                         "(bench_scaling --valid)")
+    ap.add_argument("--inrun-gate", type=float, default=60.0,
+                    help="in-run canary floor used at collection time "
+                         "(bench_scaling --inrun-floor)")
     args = ap.parse_args()
 
     if args.md:
@@ -64,7 +70,24 @@ def main() -> None:
                       f"errored: {r['error'][:60]} |")
                 continue
             p = r["pair"]
-            verdict = "**valid**" if r.get("valid") else "rejected (host throttle)"
+            # name the gate that actually failed (a rejection can come from
+            # the bracket floor OR the in-run host-stall floor)
+            if r.get("valid"):
+                verdict = "**valid**"
+            else:
+                reasons = []
+                if r.get("canaries") and min(r["canaries"]) < args.valid_gate:
+                    reasons.append(
+                        f"bracket {int(min(r['canaries']))} < "
+                        f"{int(args.valid_gate)}"
+                    )
+                irm = r.get("in_run_min")
+                if irm is not None and irm < args.inrun_gate:
+                    reasons.append(
+                        f"in-run min {int(irm)} < {int(args.inrun_gate)} "
+                        "(host stall)"
+                    )
+                verdict = "rejected (" + "; ".join(reasons or ["unknown gate"]) + ")"
             brackets = "/".join(str(int(c)) for c in r["canaries"])
             print(
                 f"| {i} | {'→'.join(str(o) for o in r['order'])}c "
