@@ -7,11 +7,14 @@ local[$SPARK_GRAFT_CPUS].  Times the engine's headline paths:
   search_exact  batch top-10, heap_factor=1.0 (exact), 100 queries
   search_pruned batch top-10 on a statically pruned index, heap_factor=0.8
   search_2p     same pruned batch with two-phase θ tightening (first_sorted)
-  knn           κ-NN graph over the pruned corpus — ONE distributed job.
-                NOTE: r3 changed the pruned index under this line from
-                geometric e=0.8 to the kmeans e=0.5 serving winner; kmeans
-                makes ~5× more blocks, measured 1.6× slower knn side-by-side
-                — r3 knn times are not comparable to r2's.
+  knn           κ-NN graph — ONE distributed job over a geometric e=0.8
+                index (r2's config, restored in r4: r3 built the graph on
+                the kmeans serving index and measured it 1.6× slower
+                side-by-side (50.6 vs 21.7 s) — nothing forces graph
+                construction onto the serving index, so the bench uses the
+                measured-cheapest config and reports graph accuracy vs
+                exact self-search (knn_accuracy extra).  r4 knn IS
+                comparable to r2 again; r3's number is the odd one out.
   bruteforce    exact full-scan top-10, 20 queries (oracle path)
   dedup_lsh     minhash signatures + LSH candidate pairs
   ann_cosine    brute-force cosine top-5 over embeddings
@@ -20,8 +23,24 @@ Extras include Accuracy@10 vs exact and the block skip rate for
 hf ∈ {1.0, 0.9, 0.8} on the pruned index (run_experiments.py:287-309
 analogue) — the numbers that show what dynamic pruning buys.
 
+Canary-gated (the round-3 ``tools/bench_scaling.py --collect`` validity
+protocol, applied here after the r3 headline regressed ~1.9x on
+code-unchanged lines with only a single pre-run canary to judge it by):
+the suite waits for a healthy host window (two consecutive first-touch
+readings ≥ 1300 MB/s), runs bracketed by pre/post canaries plus a 30 s
+in-run watcher, and the sample is **valid** only if both brackets clear
+900 MB/s and the in-run minimum clears 60 MB/s (in-run readings are
+self-contended by the suite's own page churn, hence the far lower floor —
+below it means the hypervisor stalled page supply mid-measurement).
+Invalid samples are retried (bounded); the LAST attempt is printed either
+way, carrying ``bench_valid`` so a throttled number can never again be
+mistaken for an engine number.  Env knobs: SPARK_GRAFT_BENCH_WAIT_SEC
+(healthy-window budget per attempt, default 900), SPARK_GRAFT_BENCH_RETRIES
+(re-runs after an invalid sample, default 2).
+
 Prints: {"metric": ..., "value": total_sec, "unit": "sec",
-         "queries": {name: sec}, "sf": ..., plus throughput extras}.
+         "queries": {name: sec}, "sf": ..., "bench_valid": ...,
+         canary fields, plus throughput extras}.
 """
 
 from __future__ import annotations
@@ -32,6 +51,19 @@ import sys
 import time
 
 from pyspark.sql import functions as F
+
+# canary gates — EXACTLY tools/bench_scaling.py --collect's defaults, so a
+# "valid" headline sample and a "valid" scaling sample mean the same thing
+HEALTHY_MBPS = 1300.0   # to START an attempt (two consecutive readings)
+VALID_MBPS = 900.0      # pre/post bracket floor for the sample to COUNT
+INRUN_FLOOR_MBPS = 60.0  # min self-contended in-run reading (host stall)
+
+
+def _canary_measure() -> dict:
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from canary import measure
+
+    return measure()
 
 
 def bench_queries(terms: list[str], n: int = 100, seed: int = 42):
@@ -117,13 +149,70 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
     idx.bruteforce(qs[:20], k=10).count()
     timings["bruteforce"] = round(time.time() - t0, 3)
 
-    # κ-NN graph: one distributed self-search job over the pruned corpus
+    # κ-NN graph: one distributed self-search job.  Built on a geometric
+    # e=0.8 index (r2's config) — the measured-cheapest graph-construction
+    # config (r3: kmeans-serving knn 1.6× slower side-by-side); the index
+    # build is timed separately (build_knn_index) so `knn` is the graph job.
     from seismic_spark import knn as knn_mod
+    from seismic_spark import search as srch
 
     t0 = time.time()
-    knn_mod.build_knn(idx_pruned, nknn=5, query_cut=10, heap_factor=0.7).count()
+    idx_geo = SeismicSparkIndex.build(
+        spark, docs, IndexConfig(n_postings=1000, pruning="fixed",
+                                 summary_energy=0.8)
+    )
+    idx_geo.postings.count()
+    timings["build_knn_index"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    knn_df = knn_mod.build_knn(idx_geo, nknn=5, query_cut=10, heap_factor=0.7)
+    knn_df = knn_df.persist()
+    knn_df.count()
     timings["knn"] = round(time.time() - t0, 3)
     extras["knn_docs_per_sec"] = round(n_docs / timings["knn"], 1)
+
+    # graph accuracy: sampled docs' approximate neighbors vs exact
+    # (hf=1.0, unpruned index) self-search — the quality the 0.7/geometric
+    # shortcut actually delivers
+    sampleq = (
+        idx.forward.filter(F.col("doc_id") % 100 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("query_id"),
+            F.col("terms").alias("q_terms"),
+            F.col("weights").alias("q_weights"),
+        )
+        .filter(F.size("q_terms") > 0)
+    )
+    exact_nb = (
+        srch.batch_search(
+            spark, idx.postings, idx.forward, sampleq,
+            k=6, query_cut=10, heap_factor=1.0, broadcast_queries=False,
+        )
+        .withColumn("_q", F.col("query_id").cast("bigint"))
+        .filter(F.col("doc_id") != F.col("_q"))
+        .groupBy("_q")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "doc_id"))),
+                    lambda s: s["doc_id"],
+                ),
+                1, 5,
+            ).alias("exact_nb")
+        )
+    )
+    acc_row = (
+        knn_df.join(exact_nb, knn_df["doc_id"] == exact_nb["_q"])
+        .agg(
+            F.avg(
+                F.size(F.array_intersect("neighbors", "exact_nb"))
+                / F.least(F.size("exact_nb"), F.lit(5))
+            ).alias("acc")
+        )
+        .collect()[0]
+    )
+    extras["knn_accuracy"] = round(float(acc_row["acc"]), 4)
+    knn_df.unpersist()
 
     # quality/efficiency grid (Accuracy@10 + skip rate per heap_factor)
     from seismic_spark.metrics import recall_grid
@@ -150,22 +239,8 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
 
     spark.stop()
     total = round(sum(timings.values()), 3)
-    # host-health context: this sandbox suffers intermittent HOST-level
-    # page-supply throttling (tools/canary.py; BENCH/BASELINE.md round 3) —
-    # first-touch of new pages drops 30-100x while CPU stays full speed.
-    # Healthy plateau ≈ 1400-1700 MB/s; numbers taken under ~<900 are
-    # dominated by the hypervisor, not the engine.
-    try:
-        import sys as _sys
-
-        _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
-        from canary import measure as _canary
-
-        host_mbps = _canary()["first_touch_mbps"]
-    except Exception:
-        host_mbps = None
     return {
-        "metric": "seismic_spark headline suite wall time (build + top-10 batch search + knn graph + dedup + ann; r3: pruned config = the kmeans/e0.5/hf0.9 winner from BENCH/BASELINE.md)",
+        "metric": "seismic_spark headline suite wall time (build + top-10 batch search + knn graph + dedup + ann; serving config = kmeans/e0.5/hf0.9, knn on geometric e0.8 = r2-comparable; r4: canary-gated, see bench_valid)",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -174,15 +249,93 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
         "n_docs": n_docs,
         "n_queries": len(qs),
         "n_results": n_res,
-        "host_first_touch_mbps": host_mbps,
         **extras,
     }
+
+
+def _wait_healthy(budget_sec: float) -> bool:
+    """Block until two consecutive canary readings clear HEALTHY_MBPS
+    (bench_scaling.collect's start gate), or the budget runs out."""
+    deadline = time.time() + budget_sec
+    while True:
+        r1 = _canary_measure()
+        if r1["first_touch_mbps"] >= HEALTHY_MBPS:
+            time.sleep(15)
+            if _canary_measure()["first_touch_mbps"] >= HEALTHY_MBPS:
+                return True
+        if time.time() >= deadline:
+            return False
+        time.sleep(60)
+
+
+def gated_run(sf_dir: str, cores: int) -> dict:
+    """One bracketed + watched suite run, verdict attached (never raises on
+    canary machinery — a box with no canary module still benches, just
+    unvalidated)."""
+    import threading
+
+    try:
+        pre = _canary_measure()
+    except Exception:
+        pre = None
+    in_run: list[float] = []
+    stop = threading.Event()
+
+    def watch() -> None:
+        while not stop.wait(30.0):
+            try:
+                in_run.append(_canary_measure()["first_touch_mbps"])
+            except Exception:
+                return
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    try:
+        res = run(sf_dir, cores)
+    finally:
+        stop.set()
+        t.join(timeout=5)
+    try:
+        post = _canary_measure()
+    except Exception:
+        post = None
+    brackets = [
+        r["first_touch_mbps"] for r in (pre, post) if r is not None
+    ]
+    res["canary_pre_mbps"] = pre["first_touch_mbps"] if pre else None
+    res["canary_post_mbps"] = post["first_touch_mbps"] if post else None
+    res["canary_in_run_min_mbps"] = round(min(in_run), 0) if in_run else None
+    res["canary_in_run"] = in_run
+    res["bench_valid"] = bool(
+        brackets
+        and min(brackets) >= VALID_MBPS
+        and (not in_run or min(in_run) >= INRUN_FLOOR_MBPS)
+    )
+    return res
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    result = run(sf_dir, cores)
+    wait_sec = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "900"))
+    retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    result = None
+    for attempt in range(1 + retries):
+        try:
+            _wait_healthy(wait_sec)
+        except Exception:
+            pass
+        result = gated_run(sf_dir, cores)
+        result["bench_attempt"] = attempt + 1
+        if result["bench_valid"]:
+            break
+        print(
+            json.dumps({"bench_attempt_invalid": attempt + 1,
+                        "canaries": [result["canary_pre_mbps"],
+                                     result["canary_post_mbps"]],
+                        "in_run_min": result["canary_in_run_min_mbps"]}),
+            file=sys.stderr, flush=True,
+        )
     print(json.dumps(result))
 
 
