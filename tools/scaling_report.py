@@ -87,7 +87,16 @@ def main() -> None:
                         f"in-run min {int(irm)} < {int(args.inrun_gate)} "
                         "(host stall)"
                     )
-                verdict = "rejected (" + "; ".join(reasons or ["unknown gate"]) + ")"
+                if not reasons:
+                    # The collector rejected it, but no gate fails under the
+                    # floors passed to --md: the sample predates a floor
+                    # recalibration (collection-time floors were stricter).
+                    irm_s = int(irm) if irm is not None else "?"
+                    reasons = [
+                        f"collection-time gate (in-run min {irm_s} under the "
+                        "pre-recalibration floor; passes current floors)"
+                    ]
+                verdict = "rejected (" + "; ".join(reasons) + ")"
             brackets = "/".join(str(int(c)) for c in r["canaries"])
             print(
                 f"| {i} | {'→'.join(str(o) for o in r['order'])}c "
