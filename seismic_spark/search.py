@@ -51,6 +51,7 @@ knife-edge skip decisions (ub vs hf·θ) can never diverge between them.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -408,6 +409,233 @@ def _decode_docs(block_rows: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------- batch search ----
 
+# Interactive batches up to this size take the driver-θ fast path (override
+# with $SEISMIC_DRIVER_THETA_MAX; 0 disables).  Bound: the driver holds one
+# narrow row per matched block — batch × query_cut × blocks-per-list rows of
+# six scalars — plus the surviving-keys literal it ships back.
+_DRIVER_THETA_MAX = int(os.environ.get("SEISMIC_DRIVER_THETA_MAX", "1024"))
+
+
+def _cut_qvecs(qvecs: dict[str, QVec], query_cut: int) -> list[tuple]:
+    """Driver-side cut_terms over resolved query vectors: top-``query_cut``
+    terms per query by (weight desc, term_id asc), duplicate ids merged by
+    weight sum — value-identical to the window in :func:`cut_terms`, zero
+    Spark jobs."""
+    rows: list[tuple] = []
+    for qid, (t, w) in qvecs.items():
+        t = np.asarray(t, dtype=np.int64)
+        w = np.asarray(w, dtype=np.float64)
+        if t.size == 0:
+            continue
+        if np.unique(t).size != t.size:
+            acc: dict[int, float] = {}
+            for ti, wi in zip(t.tolist(), w.tolist()):
+                acc[ti] = acc.get(ti, 0.0) + wi
+            t = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
+            w = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+        order = np.lexsort((t, -w))[:query_cut]
+        rows.extend(
+            (qid, int(t[i]), float(w[i])) for i in order.tolist()
+        )
+    return rows
+
+
+def _compact_rescore(
+    block_rows: DataFrame, forward: DataFrame, qdf: DataFrame, k: int
+) -> DataFrame:
+    """Low-latency rescore tail for SMALL surviving-block sets: decode and
+    dedup candidates in ONE task (replacing _decode_docs' `.distinct()`
+    shuffle with an in-partition np.unique), then broadcast the candidate
+    ids into the forward join — the forward scan stays parallel, but the
+    only exchange left in the chain is the final tiny top-k window.
+
+    Callers gate on block count (``_COMPACT_TAIL_MAX_BLOCKS``): candidates
+    are broadcast, so this path is for interactive batches where the
+    distributed tail's 5–6 AQE stage jobs are pure scheduling overhead
+    (measured ~2 s per chain at 1M docs regardless of data size).
+    """
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one coalesced partition → a partition-wide dedup is a full dedup
+        frames = []
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ids, counts = codec.delta_decode_multi(
+                [bytes(b) for b in pdf["gaps"]]
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(pdf["query_id"].to_numpy(), counts),
+                        "doc_id": ids.astype(np.int64),
+                    }
+                )
+            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    cands = (
+        block_rows.select("query_id", "gaps")
+        .coalesce(1)
+        .mapInPandas(decode, "query_id STRING, doc_id BIGINT")
+        .hint("broadcast")
+    )
+    scored = exact_score(cands, forward, qdf, broadcast_queries=True)
+    return topk(scored, k)
+
+
+# Compact-tail gate: blocks hold at most a few hundred docs, so ≤4096
+# surviving blocks keeps the broadcast candidate set ≲ 1M (query, doc)
+# pairs ≈ tens of MB — comfortably under executor broadcast budgets.
+_COMPACT_TAIL_MAX_BLOCKS = 4096
+
+
+def _driver_theta_search(
+    spark: SparkSession,
+    postings: DataFrame,
+    forward: DataFrame,
+    qvecs: dict[str, QVec],
+    qdf: DataFrame,
+    k: int,
+    query_cut: int,
+    heap_factor: float,
+    two_phase: bool,
+    cache_registry: list[DataFrame] | None,
+) -> DataFrame:
+    """Interactive-batch fast path: θ evolves ON THE DRIVER, like the
+    reference's in-process heap (inverted_index.rs:153-234), instead of
+    inside the plan.
+
+    Motivation (measured, BENCH/BASELINE.md round-4 batch-size section): the
+    in-plan θ derivation is one logical plan but AQE materializes its every
+    tiny shuffle/broadcast stage as a separate job — 17–24 jobs per batch,
+    ~6 s of scheduling fixed cost at any corpus size, which dominates
+    batches under ~1000 queries.  For a driver-side dict the narrow block
+    table (query_id, term_id, salt, block, ub, lb — no gap blobs) is a few
+    hundred rows per query at most, so the θ aggregation that costs several
+    window/aggregate stages in-plan is a microsecond numpy pass locally:
+
+      job 1   materialize + cache the block-UB scan, collect narrow columns
+      (job 2) two_phase only: exact-score the best-ub block per matched
+              list, collect the per-query k-th best (phase-1 tightening,
+              posting_list.rs:149-185)
+      job 3   filter the CACHED ubs frame to the surviving block keys
+              (broadcast literal), decode, exact re-score, top-k — the gap
+              blobs never leave the executors
+
+    Float parity with the in-plan path is exact: θ is selected by
+    comparisons over the same f64 values the plan would aggregate (k-th
+    largest lb, k-th best phase-1 score), and the skip predicate
+    ``ub >= heap_factor × θ`` is evaluated in IEEE f64 either way, so the
+    survivor set — and therefore every downstream score — is bitwise
+    identical (tested: test_search_fastpath.py).
+
+    DataFrame-scale query sets (κ-NN graph: millions of queries) keep the
+    in-plan windowed derivation — collecting their block table would be a
+    driver bottleneck, which is exactly why the in-plan variant exists.
+    """
+    cut_rows = _cut_qvecs(qvecs, query_cut)
+    empty = spark.createDataFrame(
+        [], "query_id STRING, rank INT, doc_id BIGINT, score DOUBLE"
+    )
+    if not cut_rows:
+        return empty
+    cterms = spark.createDataFrame(
+        cut_rows, "query_id STRING, term_id INT, qw DOUBLE"
+    )
+    matched = postings.join(F.broadcast(cterms), "term_id").join(
+        F.broadcast(qdf), "query_id"
+    )
+    ubs = _block_ubs(matched)
+    if cache_registry is not None:
+        retire_caches(cache_registry)
+    ubs = ubs.persist()
+    if cache_registry is not None:
+        cache_registry.append(ubs)
+
+    narrow = ubs.select(
+        "query_id", "term_id", "salt", "block", "ub", "lb"
+    ).toPandas()
+    if narrow.empty:
+        return empty
+
+    neg_inf = float("-inf")
+    theta: dict[str, float] = {}
+    # phase 0: per (query, term) k-th largest block-max lower bound, maxed
+    # over the query's matched terms (same value as the wt window + rank-k
+    # filter — the k-th largest VALUE is order-independent)
+    for (qid, _tid), grp in narrow.groupby(["query_id", "term_id"], sort=False):
+        lb = grp["lb"].to_numpy(dtype=np.float64)
+        if lb.size >= k:
+            kth = float(np.partition(lb, lb.size - k)[lb.size - k])
+            if kth > theta.get(qid, neg_inf):
+                theta[qid] = kth
+
+    if two_phase:
+        best = (
+            narrow.sort_values(
+                ["query_id", "term_id", "ub", "salt", "block"],
+                ascending=[True, True, False, True, True],
+                kind="stable",
+            )
+            .groupby(["query_id", "term_id"], sort=False)
+            .head(1)[["query_id", "term_id", "salt", "block"]]
+        )
+        best_df = spark.createDataFrame(
+            best, "query_id STRING, term_id INT, salt INT, block INT"
+        )
+        best_blocks = ubs.join(
+            F.broadcast(best_df), ["query_id", "term_id", "salt", "block"]
+        )
+        if len(best) <= _COMPACT_TAIL_MAX_BLOCKS:
+            p1_topk = _compact_rescore(best_blocks, forward, qdf, k)
+        else:
+            p1_topk = topk(
+                exact_score(
+                    _decode_docs(best_blocks), forward, qdf,
+                    broadcast_queries=True,
+                ),
+                k,
+            )
+        for r in (
+            p1_topk
+            .filter(F.col("rank") == k)
+            .select("query_id", "score")
+            .collect()
+        ):
+            if r["score"] > theta.get(r["query_id"], neg_inf):
+                theta[r["query_id"]] = r["score"]
+
+    if theta:
+        th = narrow["query_id"].map(theta).to_numpy(dtype=np.float64)
+        has = ~np.isnan(th)
+        keep = np.ones(len(narrow), dtype=bool)
+        # identical IEEE f64 predicate to the in-plan filter
+        keep[has] = narrow["ub"].to_numpy(dtype=np.float64)[has] >= (
+            heap_factor * th[has]
+        )
+    else:
+        keep = np.ones(len(narrow), dtype=bool)
+
+    if keep.all():
+        survivors = ubs
+    else:
+        keys = narrow.loc[keep, ["query_id", "term_id", "salt", "block"]]
+        survivors = ubs.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    keys, "query_id STRING, term_id INT, salt INT, block INT"
+                )
+            ),
+            ["query_id", "term_id", "salt", "block"],
+        )
+    if int(keep.sum()) <= _COMPACT_TAIL_MAX_BLOCKS:
+        return _compact_rescore(survivors, forward, qdf, k)
+    cands = _decode_docs(survivors)
+    scored = exact_score(cands, forward, qdf, broadcast_queries=True)
+    return topk(scored, k)
+
 
 def retire_caches(cache_registry: list[DataFrame]) -> None:
     """Unpersist every DataFrame in a caller-scoped cache registry.
@@ -437,6 +665,7 @@ def batch_search(
     two_phase: bool = False,
     broadcast_queries: bool | None = None,
     cache_registry: list[DataFrame] | None = None,
+    driver_theta: bool | None = None,
 ) -> DataFrame:
     """Dynamically-pruned batch top-k (Q1/Q9 analogue), single logical plan.
 
@@ -453,10 +682,23 @@ def batch_search(
     retired, the new cache appended.  With None the cache is persisted
     unmanaged — Spark's LRU block eviction reclaims it under memory pressure,
     or the caller unpersists explicitly.
+
+    ``driver_theta``: derive θ on the driver instead of in-plan (see
+    :func:`_driver_theta_search` — result-identical, ~3 jobs instead of
+    17–24).  Default (None) auto-enables for driver-side dict batches of at
+    most ``$SEISMIC_DRIVER_THETA_MAX`` (1024) queries; DataFrame query sets
+    always use the in-plan derivation.
     """
     qdf, small = _as_queries_df(spark, queries)
     if broadcast_queries is None:
         broadcast_queries = small
+    if driver_theta is None:
+        driver_theta = small and 0 < len(queries) <= _DRIVER_THETA_MAX
+    if driver_theta and small:
+        return _driver_theta_search(
+            spark, postings, forward, queries, qdf, k, query_cut,
+            heap_factor, two_phase, cache_registry,
+        )
     qdf = qdf.filter(F.size("q_terms") > 0)
     cterms = cut_terms(qdf, query_cut)
     qj = F.broadcast(cterms) if broadcast_queries else cterms
