@@ -544,8 +544,18 @@ def _driver_theta_search(
     cterms = spark.createDataFrame(
         cut_rows, "query_id STRING, term_id INT, qw DOUBLE"
     )
-    matched = postings.join(F.broadcast(cterms), "term_id").join(
-        F.broadcast(qdf), "query_id"
+    # Result-neutral scan pruning: the join keeps only these term_ids anyway,
+    # but an explicit IN predicate reaches the postings SCAN — Parquet
+    # row-group stats skip non-matching groups (postings files are
+    # term-sorted, postings.py stream builder) and InMemoryTableScan skips
+    # cached batches.  Measured ~0.2-0.3 s off the UB scan at 1M docs
+    # locally; the real payoff is bucket-partitioned snapshots at scale,
+    # where it stacks with _postings_for's file-level bucket pruning.
+    term_ids = sorted({int(r[1]) for r in cut_rows})
+    matched = (
+        postings.filter(F.col("term_id").isin(term_ids))
+        .join(F.broadcast(cterms), "term_id")
+        .join(F.broadcast(qdf), "query_id")
     )
     ubs = _block_ubs(matched)
     if cache_registry is not None:
