@@ -703,7 +703,18 @@ def batch_search(
     if broadcast_queries is None:
         broadcast_queries = small
     if driver_theta is None:
-        driver_theta = small and 0 < len(queries) <= _DRIVER_THETA_MAX
+        # Auto-engage only where the compact rescore tail can engage too:
+        # phase-1 decodes one block per matched list, and the batch has at
+        # most len(queries) × query_cut lists.  Above the compact-tail bound
+        # the fast path degenerates to the same distributed chains as the
+        # in-plan derivation PLUS serial job barriers — measured SLOWER at
+        # batch 1000 × cut 10 in a same-window interleaved ABAB (1M docs,
+        # BENCH/BASELINE.md), while batch ≤ ~400 wins every rep.
+        driver_theta = (
+            small
+            and 0 < len(queries) <= _DRIVER_THETA_MAX
+            and len(queries) * query_cut <= _COMPACT_TAIL_MAX_BLOCKS
+        )
     if driver_theta and small:
         return _driver_theta_search(
             spark, postings, forward, queries, qdf, k, query_cut,
