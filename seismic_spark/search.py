@@ -721,6 +721,15 @@ def batch_search(
             heap_factor, two_phase, cache_registry,
         )
     qdf = qdf.filter(F.size("q_terms") > 0)
+    if small:
+        # Dict batches routed in-plan still know their term union on the
+        # driver; an IN predicate on the SUPERSET of all query terms is
+        # result-neutral (the cut-terms join restricts further) and reaches
+        # the postings scan for row-group / cached-batch / bucket-file
+        # pruning, same as the fast path's filter.
+        all_ids = sorted({int(t) for ts, _ in queries.values() for t in ts})
+        if all_ids:
+            postings = postings.filter(F.col("term_id").isin(all_ids))
     cterms = cut_terms(qdf, query_cut)
     qj = F.broadcast(cterms) if broadcast_queries else cterms
     matched = postings.join(qj, "term_id")
