@@ -24,6 +24,30 @@ from seismic_spark import textprep, vocab as voc
 from seismic_spark.postings import IndexConfig
 
 
+def _check_missing_tokens(dropped_pairs, missing_tokens: str) -> None:
+    """Shared-vocab build guard: count document (doc, token) pairs whose
+    token is absent from the supplied vocab, then warn or raise.
+
+    The reference PANICS here (inverted_index_wrapper.rs process_data
+    indexes ``token_to_id_mapping[&t]``); dropping is our deliberate
+    relaxation, so it must never be silent by default.
+    """
+    n_dropped = dropped_pairs.count()
+    if n_dropped == 0:
+        return
+    msg = (
+        f"{n_dropped} (doc, token) pairs reference tokens absent from the "
+        "supplied vocab and were dropped from the index; the reference "
+        "panics on unknown document tokens at build time "
+        "(missing_tokens='error' restores that, 'ignore' silences this)"
+    )
+    if missing_tokens == "error":
+        raise ValueError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=3)
+
+
 class SeismicSparkIndex:
     """Distributed Seismic-style index over (vocab, forward, postings) tables."""
 
@@ -71,6 +95,7 @@ class SeismicSparkIndex:
         cache: bool = True,
         with_postings: bool = True,
         vocab: DataFrame | None = None,
+        missing_tokens: str = "warn",
     ) -> "SeismicSparkIndex":
         """Tokenize → BM25-weight → vocab/forward/postings tables.
 
@@ -82,19 +107,37 @@ class SeismicSparkIndex:
         — the ``input_token_to_id_map`` build parameter (pylib/mod.rs:333-384,
         inverted_index_wrapper.rs:398-422): separately built indexes share
         term ids, enabling cross-index query routing / federated shards.
-        Tokens absent from the supplied vocab are dropped (the same silent
-        drop as query resolution, P3).  df counts stay those of the vocab's
-        source corpus — exactly the reference, which reuses the supplied
-        map's ids verbatim.
+        df counts stay those of the vocab's source corpus — exactly the
+        reference, which reuses the supplied map's ids verbatim (idf is
+        clamped at 0 when that df exceeds THIS corpus's n_docs, see
+        textprep.bm25_weights).  Document tokens absent from the supplied
+        vocab are handled per ``missing_tokens`` — NOTE this is a deliberate
+        relaxation of the reference, which PANICS at build time on an
+        unknown document token (``token_to_id_mapping[&t]`` HashMap index in
+        inverted_index_wrapper.rs process_data; only QUERY resolution drops
+        silently there, P3):
+
+        - "warn" (default): drop them, but warn with the dropped
+          (doc, token)-pair count so shard builds can't silently lose text;
+        - "error": raise — the reference's panic semantics;
+        - "ignore": silent drop (P3-style).
         """
+        if missing_tokens not in ("warn", "error", "ignore"):
+            raise ValueError(f"unknown missing_tokens {missing_tokens!r}")
         cfg = config or IndexConfig()
         toks = textprep.tokenize(docs.select(id_col, text_col), text_col)
         toks = toks.persist()
         n_docs, avgdl = textprep.corpus_stats(toks)
+        supplied_vocab = vocab is not None
         if vocab is None:
             vocab = voc.build_vocab(toks, id_col).persist()
         n_terms = vocab.count()
         tf_df = textprep.term_frequencies(toks, id_col)
+        if supplied_vocab and missing_tokens != "ignore":
+            _check_missing_tokens(
+                tf_df.join(vocab.select("term"), "term", "left_anti"),
+                missing_tokens,
+            )
         dtw = textprep.bm25_weights(tf_df, vocab, n_docs, avgdl, id_col)
         if cfg.value_type not in ("f64", None):
             scale_max = None
@@ -125,6 +168,7 @@ class SeismicSparkIndex:
         id_scheme: str = "dense",
         load_content: bool = True,
         vocab: DataFrame | None = None,
+        missing_tokens: str = "warn",
     ) -> "SeismicSparkIndex":
         """Build from pre-weighted sparse vectors — the reference's PRIMARY
         entry point (``from_json``/``from_tar``/``read_seismic_format``
@@ -163,8 +207,11 @@ class SeismicSparkIndex:
 
         ``vocab``: an existing (term, df, term_id) table — the
         ``input_token_to_id_map`` parameter (inverted_index_wrapper.rs:
-        398-422): reuse another index's term ids; tokens not in the supplied
-        vocab are dropped (P3 silent-drop semantics).
+        398-422): reuse another index's term ids.  Document tokens absent
+        from the supplied vocab follow ``missing_tokens``
+        ("warn"/"error"/"ignore", see :meth:`build` — the reference panics
+        at build on unknown document tokens; dropping is our deliberate,
+        non-silent-by-default relaxation).
 
         Weights are stored as given (no BM25 re-weighting — these vectors
         are already weighted, e.g. SPLADE impact scores); ``value_type``
@@ -217,6 +264,15 @@ class SeismicSparkIndex:
                 vocab = voc.build_vocab(
                     vectors.select("doc_id", F.col("terms").alias("tokens"))
                 ).persist()
+            elif missing_tokens != "ignore":
+                if missing_tokens not in ("warn", "error"):
+                    raise ValueError(f"unknown missing_tokens {missing_tokens!r}")
+                _check_missing_tokens(
+                    exploded.join(
+                        vocab.select(F.col("term").alias("_t")), "_t", "left_anti"
+                    ),
+                    missing_tokens,
+                )
             dtw = exploded.join(
                 vocab.select(F.col("term").alias("_t"), "term_id"), "_t"
             ).select("doc_id", "term_id", "weight")
@@ -302,6 +358,31 @@ class SeismicSparkIndex:
                 .take(1)
             )
         return rows[0]["content"] if rows else None
+
+    def get(self, doc_id) -> tuple[list[int], list[float]] | None:
+        """Vector accessor parity with the reference's ``get(id)``
+        (pylib/mod.rs:59-291 / SeismicDataset::get): the stored sparse
+        vector of one document as ``(term_ids, weights)``, term ids
+        ascending, or None for an unknown id.  Accepts an internal BIGINT
+        id or — on a docmap-carrying index — the external string id.
+        Interactive single-row lookup (key-filtered forward scan); for bulk
+        access join ``self.forward`` directly."""
+        if isinstance(doc_id, str) and getattr(self, "docmap", None) is not None:
+            rows = (
+                self.docmap.filter(F.col("ext_id") == doc_id)
+                .join(self.forward, "doc_id")
+                .select("terms", "weights")
+                .take(1)
+            )
+        else:
+            rows = (
+                self.forward.filter(F.col("doc_id") == int(doc_id))
+                .select("terms", "weights")
+                .take(1)
+            )
+        if not rows:
+            return None
+        return list(rows[0]["terms"]), [float(w) for w in rows[0]["weights"]]
 
     # ------------------------------------------------------------ search ----
 

@@ -7,8 +7,11 @@ binary columns flow through `mapInPandas` in Arrow batches, output schema is
 typed, and the batch shape (one decode call per batch, vectorized metadata)
 is what a real libjpeg/ffmpeg-backed UDF would use.
 
-Swap `fake_decode_image` for a real decoder (PIL/torchvision) and nothing
-else changes.
+The swap point is real, not asserted: `decode_binary_column(decoder=...)`
+takes any `bytes -> (w, h, mean)` callable, and an import-guarded Pillow
+decoder (`pil_decode_image`) is selected automatically when PIL is
+installed (tests/test_operators.py exercises both the injected-decoder seam
+and, where PIL exists, the real path).
 """
 
 from __future__ import annotations
@@ -39,21 +42,57 @@ def fake_decode_image(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean
 
 
+def pil_decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Real decoder for the same seam, import-guarded: (width, height,
+    mean grayscale byte) via Pillow.  Raises ImportError where PIL is not
+    installed (this container) — callers pick it up via
+    :func:`real_decoder_available` and fall back to the fake."""
+    import io
+
+    from PIL import Image  # noqa: import-guarded seam
+
+    with Image.open(io.BytesIO(payload)) as im:
+        gray = np.asarray(im.convert("L"), dtype=np.float64)
+        return int(im.width), int(im.height), float(gray.mean())
+
+
+def real_decoder_available() -> bool:
+    """True when the import-guarded PIL decode path can run here."""
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def decode_binary_column(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
     """Decode a binary column to typed metadata in Arrow batches.
 
     The per-batch loop is over *rows of one Arrow batch* (the decode itself
     is inherently per-payload); everything around it is vectorized.
+
+    ``decoder``: any ``bytes -> (width, height, mean_byte)`` callable —
+    this IS the swap point.  Default: :func:`pil_decode_image` when Pillow
+    is importable, else the deterministic :func:`fake_decode_image` (this
+    container has no image libs).  The callable is serialized into the UDF
+    closure, so it must be importable/picklable on executors.
     """
+    if decoder is None:
+        decoder = (
+            pil_decode_image if real_decoder_available() else fake_decode_image
+        )
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if pdf.empty:
                 continue
             payloads = pdf[payload_col]
-            meta = [fake_decode_image(bytes(p)) for p in payloads]
+            meta = [decoder(bytes(p)) for p in payloads]
             w, h, m = zip(*meta) if meta else ((), (), ())
             # half-away-from-zero rounding (np.round is banker's; SQL isn't)
             mean4 = np.floor(np.asarray(m, dtype=np.float64) * 1e4 + 0.5) / 1e4

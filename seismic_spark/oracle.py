@@ -71,7 +71,9 @@ def build(docs: list[tuple[int, str]], cfg: IndexConfig | None = None) -> Oracle
         tids = np.asarray(sorted(tf), dtype=np.int64)
         ws = np.empty(tids.size, dtype=np.float64)
         for i, tid in enumerate(tids.tolist()):
-            idf = log(1.0 + (n_docs - df[tid] + 0.5) / (df[tid] + 0.5))
+            # clamp mirrors textprep.bm25_weights (no-op for same-corpus
+            # vocab where df <= n_docs — only the shared-vocab path engages)
+            idf = max(0.0, log(1.0 + (n_docs - df[tid] + 0.5) / (df[tid] + 0.5)))
             c = tf[tid]
             ws[i] = idf * c * (K1 + 1.0) / (c + K1 * (1.0 - B + B * dl / avgdl))
         fwd_terms.append(tids)

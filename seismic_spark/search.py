@@ -415,6 +415,57 @@ def _decode_docs(block_rows: DataFrame) -> DataFrame:
 # six scalars — plus the surviving-keys literal it ships back.
 _DRIVER_THETA_MAX = int(os.environ.get("SEISMIC_DRIVER_THETA_MAX", "1024"))
 
+# Hard row cap on the narrow block table the fast path collects: the gate
+# above bounds batch × query_cut, but blocks-per-list is data-dependent (a
+# head-term-heavy batch on a many-block index can multiply it arbitrarily).
+# The collect is issued as limit(cap+1); hitting the cap aborts to the
+# in-plan θ derivation (result-identical), so driver memory is bounded by
+# construction: cap rows × 6 scalars ≈ 50 MB at the default.
+_DRIVER_THETA_MAX_ROWS = int(
+    os.environ.get("SEISMIC_DRIVER_THETA_MAX_ROWS", "1000000")
+)
+
+# In-plan dict batches push the union of all query term ids into the postings
+# scan as an IN predicate (result-neutral pruning).  Above this many ids the
+# literal list itself bloats Catalyst optimization / Parquet predicate
+# conversion more than the scan pruning saves, so skip it (the cut-terms
+# join already restricts the scan output).
+_SCAN_PRUNE_MAX_IDS = int(os.environ.get("SEISMIC_SCAN_PRUNE_MAX_IDS", "100000"))
+
+# Fallback ubs-cache lifecycle for direct batch_search callers that pass no
+# registry: previous caches are retired here on the next call, so a
+# long-lived session never accumulates dead persisted RDDs.
+# SeismicSparkIndex passes its per-instance registry instead, keeping
+# interleaved searches on different indexes from thrashing each other.
+_DEFAULT_CACHE_REGISTRY: list[DataFrame] = []
+
+
+def _merge_dup_qvecs(qvecs: dict[str, QVec]) -> dict[str, QVec]:
+    """Deterministically merge duplicate term ids within each query vector.
+
+    Dict batches are normalized ONCE here, before path selection, so the
+    driver-θ fast path and the in-plan derivation both see duplicate-free,
+    term-sorted queries — which is what makes their documented bitwise
+    identity hold even for queries that repeat a term: any float summation
+    the two paths would otherwise do independently (Python insertion-order
+    vs Spark aggregation-order) happens exactly once, over a pinned element
+    order (term id asc, then weight asc within a duplicate group) — the
+    reduceat's association is numpy's but the inputs are a pure function of
+    the multiset, so the merged float is reproducible.
+    """
+    out: dict[str, QVec] = {}
+    for qid, (t, w) in qvecs.items():
+        t = np.asarray(t, dtype=np.int64)
+        w = np.asarray(w, dtype=np.float64)
+        order = np.lexsort((w, t))  # term asc, weight asc within ties
+        t, w = t[order], w[order]
+        if t.size > 1 and np.any(np.diff(t) == 0):
+            starts = np.flatnonzero(np.concatenate(([True], np.diff(t) != 0)))
+            w = np.add.reduceat(w, starts)
+            t = t[starts]
+        out[qid] = (t, w)
+    return out
+
 
 def _cut_qvecs(qvecs: dict[str, QVec], query_cut: int) -> list[tuple]:
     """Driver-side cut_terms over resolved query vectors: top-``query_cut``
@@ -428,11 +479,13 @@ def _cut_qvecs(qvecs: dict[str, QVec], query_cut: int) -> list[tuple]:
         if t.size == 0:
             continue
         if np.unique(t).size != t.size:
-            acc: dict[int, float] = {}
-            for ti, wi in zip(t.tolist(), w.tolist()):
-                acc[ti] = acc.get(ti, 0.0) + wi
-            t = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-            w = np.fromiter(acc.values(), dtype=np.float64, count=len(acc))
+            # same pinned merge order as _merge_dup_qvecs (term asc, weight
+            # asc) so direct callers get the identical merged floats
+            order = np.lexsort((w, t))
+            t, w = t[order], w[order]
+            starts = np.flatnonzero(np.concatenate(([True], np.diff(t) != 0)))
+            w = np.add.reduceat(w, starts)
+            t = t[starts]
         order = np.lexsort((t, -w))[:query_cut]
         rows.extend(
             (qid, int(t[i]), float(w[i])) for i in order.tolist()
@@ -534,6 +587,10 @@ def _driver_theta_search(
     DataFrame-scale query sets (κ-NN graph: millions of queries) keep the
     in-plan windowed derivation — collecting their block table would be a
     driver bottleneck, which is exactly why the in-plan variant exists.
+
+    Returns None when the narrow block table exceeds
+    ``_DRIVER_THETA_MAX_ROWS`` (collected via limit(cap+1), so the transfer
+    itself is bounded) — the caller then falls back to the in-plan path.
     """
     cut_rows = _cut_qvecs(qvecs, query_cut)
     empty = spark.createDataFrame(
@@ -564,9 +621,18 @@ def _driver_theta_search(
     if cache_registry is not None:
         cache_registry.append(ubs)
 
-    narrow = ubs.select(
-        "query_id", "term_id", "salt", "block", "ub", "lb"
-    ).toPandas()
+    # Collect with a hard row cap: the auto-gate bounds batch × query_cut,
+    # but blocks-per-list is data-dependent, so a head-term-heavy batch on a
+    # many-block index could otherwise collect an unexpectedly wide table.
+    # limit(cap+1) bounds the transfer itself; hitting the cap returns None
+    # and the caller falls back to the in-plan θ derivation.
+    narrow = (
+        ubs.select("query_id", "term_id", "salt", "block", "ub", "lb")
+        .limit(_DRIVER_THETA_MAX_ROWS + 1)
+        .toPandas()
+    )
+    if len(narrow) > _DRIVER_THETA_MAX_ROWS:
+        return None
     if narrow.empty:
         return empty
 
@@ -689,9 +755,10 @@ def batch_search(
     ``cache_registry``: caller-scoped lifecycle for the persisted ubs frame
     (SeismicSparkIndex passes a per-instance list, so interleaved searches on
     DIFFERENT indexes never thrash each other's cache).  Previous entries are
-    retired, the new cache appended.  With None the cache is persisted
-    unmanaged — Spark's LRU block eviction reclaims it under memory pressure,
-    or the caller unpersists explicitly.
+    retired, the new cache appended.  With None a module-level default
+    registry is used, so direct callers in a long session still have each
+    call retire the previous call's cache instead of accumulating persisted
+    RDDs until LRU/disk pressure.
 
     ``driver_theta``: derive θ on the driver instead of in-plan (see
     :func:`_driver_theta_search` — result-identical, ~3 jobs instead of
@@ -699,6 +766,13 @@ def batch_search(
     most ``$SEISMIC_DRIVER_THETA_MAX`` (1024) queries; DataFrame query sets
     always use the in-plan derivation.
     """
+    if not isinstance(queries, DataFrame):
+        # normalize duplicate term ids ONCE, deterministically, before path
+        # selection — both θ paths then see identical duplicate-free floats
+        # (the documented fast-path/in-plan bitwise identity)
+        queries = _merge_dup_qvecs(queries)
+    if cache_registry is None:
+        cache_registry = _DEFAULT_CACHE_REGISTRY
     qdf, small = _as_queries_df(spark, queries)
     if broadcast_queries is None:
         broadcast_queries = small
@@ -716,19 +790,25 @@ def batch_search(
             and len(queries) * query_cut <= _COMPACT_TAIL_MAX_BLOCKS
         )
     if driver_theta and small:
-        return _driver_theta_search(
+        res = _driver_theta_search(
             spark, postings, forward, queries, qdf, k, query_cut,
             heap_factor, two_phase, cache_registry,
         )
+        if res is not None:
+            return res
+        # block-table row cap hit — fall through to the in-plan derivation
+        # (the fast path's persisted ubs sits in cache_registry and is
+        # retired below like any previous cache)
     qdf = qdf.filter(F.size("q_terms") > 0)
     if small:
         # Dict batches routed in-plan still know their term union on the
         # driver; an IN predicate on the SUPERSET of all query terms is
         # result-neutral (the cut-terms join restricts further) and reaches
         # the postings scan for row-group / cached-batch / bucket-file
-        # pruning, same as the fast path's filter.
+        # pruning, same as the fast path's filter.  Above the cap the
+        # literal list costs Catalyst more than the pruning saves — skip.
         all_ids = sorted({int(t) for ts, _ in queries.values() for t in ts})
-        if all_ids:
+        if all_ids and len(all_ids) <= _SCAN_PRUNE_MAX_IDS:
             postings = postings.filter(F.col("term_id").isin(all_ids))
     cterms = cut_terms(qdf, query_cut)
     qj = F.broadcast(cterms) if broadcast_queries else cterms

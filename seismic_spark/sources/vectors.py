@@ -183,30 +183,49 @@ def decode_seismic_bin(buf: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return lens, ids, vals
 
 
-def read_seismic_bin(spark: SparkSession, path: str) -> DataFrame:
+def read_seismic_bin(
+    spark: SparkSession, path: str, high_ids: str = "error"
+) -> DataFrame:
     """S3 scan -> BIN_SCHEMA with the reference's sequential doc ids.
 
     ONE decode pass (persisted), then per-file counts (a tiny agg) become
     broadcast offsets: files ordered by path, doc_id = file_base + local
     index — identical ids to the reference reading the same shards
     concatenated in path order.
+
+    ``high_ids`` — the LV (u32 component-id) story (pylib/mod.rs:1159-1166,
+    index_traits.rs:14): the on-disk format allows full u32 component ids
+    but this engine stores term ids as int32 throughout.
+
+    - "error" (default): refuse files with ids >= 2^31 rather than wrap
+      negative silently;
+    - "bigint": emit ``terms ARRAY<BIGINT>`` carrying the raw u32 ids —
+      pipe through :func:`compact_term_ids` to remap into the int32 space
+      (weights preserved, array order preserved) before index build.
     """
+    if high_ids not in ("error", "bigint"):
+        raise ValueError(f"unknown high_ids {high_ids!r}")
+    terms_t = "ARRAY<BIGINT>" if high_ids == "bigint" else "ARRAY<INT>"
     raw_schema = (
-        "path STRING, local_i BIGINT, terms ARRAY<INT>, weights ARRAY<FLOAT>"
+        f"path STRING, local_i BIGINT, terms {terms_t}, weights ARRAY<FLOAT>"
     )
+    id_dtype = np.int64 if high_ids == "bigint" else np.int32
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for p, blob in zip(pdf["path"], pdf["content"]):
                 lens, ids, vals = decode_seismic_bin(bytes(blob))
-                # the on-disk format is u32 but the engine's term ids are
-                # int32 throughout — refuse to wrap negative silently
-                if ids.size and int(ids.max()) >= 2**31:
+                if (
+                    high_ids == "error"
+                    and ids.size
+                    and int(ids.max()) >= 2**31
+                ):
                     raise ValueError(
                         f"{p}: component id {int(ids.max())} >= 2^31 — the "
                         "inner format allows full u32 ids but this engine "
-                        "stores term ids as int32; remap the component "
-                        "space below 2^31 before ingesting"
+                        "stores term ids as int32; read with "
+                        "high_ids='bigint' and remap via compact_term_ids, "
+                        "or remap the component space below 2^31 upstream"
                     )
                 ends = np.cumsum(lens)
                 starts = ends - lens
@@ -215,7 +234,7 @@ def read_seismic_bin(spark: SparkSession, path: str) -> DataFrame:
                         "path": p,
                         "local_i": np.arange(len(lens), dtype=np.int64),
                         "terms": [
-                            ids[s:e].astype(np.int32) for s, e in zip(starts, ends)
+                            ids[s:e].astype(id_dtype) for s, e in zip(starts, ends)
                         ],
                         "weights": [vals[s:e] for s, e in zip(starts, ends)],
                     }
@@ -245,6 +264,64 @@ def read_seismic_bin(spark: SparkSession, path: str) -> DataFrame:
         )
     )
     return out
+
+
+def compact_term_ids(vectors: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Remap a high (u32 / BIGINT) component-id space into dense int32 ids.
+
+    The LV-variant bridge (pylib/mod.rs:1159-1166): a corpus exported from
+    the reference's u32 build can carry component ids >= 2^31, which this
+    engine's int32 term ids can't store.  The remap assigns dense ids
+    0..n_distinct-1 in ascending old-id order (vocab.assign_ordered_ids), so
+    the map is MONOTONE — per-vector component sort order is preserved and
+    relative weight/component pairing is untouched.
+
+    ``vectors``: (doc_id, terms ARRAY<BIGINT or INT>, weights ARRAY<FLOAT>
+    [, content]).  Returns ``(remapped_vectors, id_map)`` where
+    ``remapped_vectors`` has ``terms ARRAY<INT>`` (other columns unchanged)
+    and ``id_map`` is (old_id BIGINT, term_id INT) — persist it to remap
+    query component ids the same way.
+
+    Distributed: explode → join on old id (shuffle; the map can be
+    vocabulary-sized, never broadcast-assumed) → re-assemble sorted arrays.
+    """
+    from seismic_spark import vocab as _voc
+
+    distinct_ids = (
+        vectors.select(F.explode("terms").alias("old_id"))
+        .select(F.col("old_id").cast("bigint").alias("old_id"))
+        .distinct()
+    )
+    id_map = _voc.assign_ordered_ids(
+        distinct_ids, "old_id", id_col="term_id", id_type="int"
+    ).persist()
+    extra = [c for c in vectors.columns if c not in ("doc_id", "terms", "weights")]
+    exploded = vectors.select(
+        "doc_id",
+        *extra,
+        F.posexplode(F.arrays_zip("terms", "weights")).alias("_pos", "z"),
+    ).select(
+        "doc_id",
+        *extra,
+        F.col("z.terms").cast("bigint").alias("old_id"),
+        F.col("z.weights").alias("weight"),
+    )
+    remapped = (
+        exploded.join(id_map, "old_id")
+        .groupBy("doc_id", *extra)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("term_id", "weight"))
+            ).alias("_z")
+        )
+        .select(
+            "doc_id",
+            F.col("_z.term_id").alias("terms"),
+            F.col("_z.weight").cast("array<float>").alias("weights"),
+            *extra,
+        )
+    )
+    return remapped, id_map
 
 
 def write_seismic_bin(forward: DataFrame, path: str, shards: int = 1) -> None:

@@ -101,7 +101,16 @@ def bm25_weights(
     also the downstream postings partitioning key (co-located).
     Returns ``(doc_id, term_id, weight DOUBLE)``.
     """
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    # greatest(·, 0) is a no-op whenever df <= n_docs (always true when the
+    # vocab comes from this corpus, so the DuckDB oracle needs no clamp);
+    # it only engages on the shared-vocab path (index.build(vocab=...)),
+    # where the supplied vocab's df can exceed THIS corpus's n_docs and the
+    # raw idf would go negative — negative stored weights would violate the
+    # non-negativity the block-max/summary pruning bounds assume.
+    idf = F.greatest(
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        F.lit(0.0),
+    )
     tf = F.col("tf").cast("double")
     norm = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl)))
     w = idf * tf * F.lit(K1 + 1.0) / norm
