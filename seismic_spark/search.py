@@ -282,18 +282,23 @@ def topk(scored: DataFrame, k: int) -> DataFrame:
 # ------------------------------------------------------ block UB scan -------
 
 
-def _block_ubs(postings_matched: DataFrame) -> DataFrame:
+def _block_ubs(postings_matched: DataFrame, with_gaps: bool = True) -> DataFrame:
     """Per (query, posting-row, block): summary upper-bound dot (Q2), the
-    block-max lower bound, and the block's encoded doc ids.
+    block-max lower bound, and (``with_gaps``) the block's encoded doc ids.
 
     Fully vectorized per Arrow batch: all blocks of all rows are flattened
     into concatenated summary-element arrays; one searchsorted resolves every
     (element, query) weight; per-block UBs are segment sums.  No per-row or
     per-block Python math.
+
+    ``with_gaps=False`` drops the ``doc_gaps`` column from the scan entirely
+    (Parquet column pruning — the gap blobs are never read, decoded, or
+    shipped through Arrow); the deferred-gaps fast path re-fetches gaps for
+    SURVIVING blocks only via :func:`_fetch_gaps`.
     """
     out_schema = (
         "query_id STRING, term_id INT, salt INT, block INT, ub DOUBLE, "
-        "lb DOUBLE, gaps BINARY"
+        "lb DOUBLE" + (", gaps BINARY" if with_gaps else "")
     )
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -355,24 +360,26 @@ def _block_ubs(postings_matched: DataFrame) -> DataFrame:
             elem_starts = np.cumsum(slen) - slen
             ub = codec.segment_sums(contrib, elem_starts, slen)
 
-            gaps = [bytes(b) for row in pdf["doc_gaps"] for b in row]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(pdf["query_id"].to_numpy(), nb),
-                    "term_id": np.repeat(
-                        pdf["term_id"].to_numpy(dtype=np.int32), nb
-                    ),
-                    "salt": np.repeat(pdf["salt"].to_numpy(dtype=np.int32), nb),
-                    "block": blocks_all,
-                    "ub": ub,
-                    "lb": lb,
-                    "gaps": gaps,
-                }
-            )
+            out = {
+                "query_id": np.repeat(pdf["query_id"].to_numpy(), nb),
+                "term_id": np.repeat(
+                    pdf["term_id"].to_numpy(dtype=np.int32), nb
+                ),
+                "salt": np.repeat(pdf["salt"].to_numpy(dtype=np.int32), nb),
+                "block": blocks_all,
+                "ub": ub,
+                "lb": lb,
+            }
+            if with_gaps:
+                out["gaps"] = [
+                    bytes(b) for row in pdf["doc_gaps"] for b in row
+                ]
+            yield pd.DataFrame(out)
 
     cols = postings_matched.select(
         "query_id", "term_id", "salt", "qw", "q_terms", "q_weights",
-        "blocks", "block_max", "doc_gaps",
+        "blocks", "block_max",
+        *(("doc_gaps",) if with_gaps else ()),
         "summary_terms", "summary_codes", "summary_min", "summary_quant",
     )
     return cols.mapInPandas(scan, out_schema)
@@ -423,6 +430,15 @@ _DRIVER_THETA_MAX = int(os.environ.get("SEISMIC_DRIVER_THETA_MAX", "1024"))
 # construction: cap rows × 6 scalars ≈ 50 MB at the default.
 _DRIVER_THETA_MAX_ROWS = int(
     os.environ.get("SEISMIC_DRIVER_THETA_MAX_ROWS", "1000000")
+)
+
+# Deferred-gaps fast path (experiment, BENCH/BASELINE.md round-5 interactive
+# floor): the block-UB scan job reads NO doc_gaps column at all (Parquet
+# column pruning), so nothing is persisted; gaps are re-fetched from the
+# postings scan for SURVIVING blocks only.  Trades the ubs persist + wide
+# scan for one extra narrow scan job.
+_FASTPATH_DEFER_GAPS = (
+    os.environ.get("SEISMIC_FASTPATH_DEFER_GAPS", "0") == "1"
 )
 
 # In-plan dict batches push the union of all query term ids into the postings
@@ -538,6 +554,39 @@ def _compact_rescore(
     return topk(scored, k)
 
 
+def _fetch_gaps(postings: DataFrame, keys: pd.DataFrame) -> DataFrame:
+    """(query_id, gaps) rows for an explicit set of surviving block keys.
+
+    ``keys`` is a small driver-side frame (query_id, term_id, salt, block) —
+    bounded by the fast-path gate.  The postings scan reads ONLY
+    (term_id, salt, blocks, doc_gaps) for the keys' term ids (IN-pruned row
+    groups), explodes to block granularity JVM-side (arrays_zip — no Python),
+    and a broadcast join keeps exactly the requested (query, block) pairs.
+    Feeds :func:`_compact_rescore` / :func:`_decode_docs` unchanged.
+    """
+    spark = postings.sparkSession
+    term_ids = sorted({int(t) for t in keys["term_id"].unique()})
+    kdf = spark.createDataFrame(
+        keys[["query_id", "term_id", "salt", "block"]],
+        "query_id STRING, term_id INT, salt INT, block INT",
+    )
+    exploded = (
+        postings.filter(F.col("term_id").isin(term_ids))
+        .select(
+            "term_id", "salt",
+            F.explode(F.arrays_zip("blocks", "doc_gaps")).alias("z"),
+        )
+        .select(
+            "term_id", "salt",
+            F.col("z.blocks").alias("block"),
+            F.col("z.doc_gaps").alias("gaps"),
+        )
+    )
+    return exploded.join(F.broadcast(kdf), ["term_id", "salt", "block"]).select(
+        "query_id", "gaps"
+    )
+
+
 # Compact-tail gate: blocks hold at most a few hundred docs, so ≤4096
 # surviving blocks keeps the broadcast candidate set ≲ 1M (query, doc)
 # pairs ≈ tens of MB — comfortably under executor broadcast budgets.
@@ -614,12 +663,16 @@ def _driver_theta_search(
         .join(F.broadcast(cterms), "term_id")
         .join(F.broadcast(qdf), "query_id")
     )
-    ubs = _block_ubs(matched)
+    defer = _FASTPATH_DEFER_GAPS
+    ubs = _block_ubs(matched, with_gaps=not defer)
     if cache_registry is not None:
         retire_caches(cache_registry)
-    ubs = ubs.persist()
-    if cache_registry is not None:
-        cache_registry.append(ubs)
+    if not defer:
+        # gaps ride along in the ubs frame: persist it so the rescore tail
+        # filters the cached frame instead of re-running the scan
+        ubs = ubs.persist()
+        if cache_registry is not None:
+            cache_registry.append(ubs)
 
     # Collect with a hard row cap: the auto-gate bounds batch × query_cut,
     # but blocks-per-list is data-dependent, so a head-term-heavy batch on a
@@ -658,12 +711,15 @@ def _driver_theta_search(
             .groupby(["query_id", "term_id"], sort=False)
             .head(1)[["query_id", "term_id", "salt", "block"]]
         )
-        best_df = spark.createDataFrame(
-            best, "query_id STRING, term_id INT, salt INT, block INT"
-        )
-        best_blocks = ubs.join(
-            F.broadcast(best_df), ["query_id", "term_id", "salt", "block"]
-        )
+        if defer:
+            best_blocks = _fetch_gaps(postings, best)
+        else:
+            best_df = spark.createDataFrame(
+                best, "query_id STRING, term_id INT, salt INT, block INT"
+            )
+            best_blocks = ubs.join(
+                F.broadcast(best_df), ["query_id", "term_id", "salt", "block"]
+            )
         if len(best) <= _COMPACT_TAIL_MAX_BLOCKS:
             p1_topk = _compact_rescore(best_blocks, forward, qdf, k)
         else:
@@ -694,7 +750,12 @@ def _driver_theta_search(
     else:
         keep = np.ones(len(narrow), dtype=bool)
 
-    if keep.all():
+    if defer:
+        # no cached frame to filter — fetch gaps for the surviving keys
+        survivors = _fetch_gaps(
+            postings, narrow.loc[keep, ["query_id", "term_id", "salt", "block"]]
+        )
+    elif keep.all():
         survivors = ubs
     else:
         keys = narrow.loc[keep, ["query_id", "term_id", "salt", "block"]]
