@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default="/tmp/knn_sweep.json")
+    ap.add_argument("--variants", default="",
+                    help="comma-separated variant names (default: all)")
     args = ap.parse_args()
 
     from canary import measure
@@ -109,20 +111,29 @@ def main() -> None:
         )
         return round(float(row["acc"]), 4)
 
-    variants = [
-        {"name": "baseline_qc10_hf0.7", "query_cut": 10, "heap_factor": 0.7,
-         "two_phase": False},
-        {"name": "qc5_hf0.7", "query_cut": 5, "heap_factor": 0.7,
-         "two_phase": False},
-        {"name": "qc4_hf0.7", "query_cut": 4, "heap_factor": 0.7,
-         "two_phase": False},
-        {"name": "qc3_hf0.7", "query_cut": 3, "heap_factor": 0.7,
-         "two_phase": False},
-        {"name": "qc5_hf0.7_2p", "query_cut": 5, "heap_factor": 0.7,
-         "two_phase": True},
-        {"name": "qc5_hf0.6", "query_cut": 5, "heap_factor": 0.6,
-         "two_phase": False},
-    ]
+    # Round-5 sweep 1 (BENCH/knn_sweep_r5.json) measured query_cut as the
+    # accuracy lever — qc5 drops graph accuracy 0.96 -> 0.824 because the
+    # candidate pool IS the matched lists' union — while hf 0.7 -> 0.6 at
+    # fixed qc cost nothing (0.824 == 0.824).  Sweep 2 therefore holds
+    # qc=10 (full candidate pool) and pushes heap_factor down instead.
+    all_variants = {
+        "baseline_qc10_hf0.7": {"query_cut": 10, "heap_factor": 0.7,
+                                "two_phase": False},
+        "qc5_hf0.7": {"query_cut": 5, "heap_factor": 0.7, "two_phase": False},
+        "qc4_hf0.7": {"query_cut": 4, "heap_factor": 0.7, "two_phase": False},
+        "qc3_hf0.7": {"query_cut": 3, "heap_factor": 0.7, "two_phase": False},
+        "qc5_hf0.7_2p": {"query_cut": 5, "heap_factor": 0.7,
+                         "two_phase": True},
+        "qc5_hf0.6": {"query_cut": 5, "heap_factor": 0.6, "two_phase": False},
+        "qc10_hf0.6": {"query_cut": 10, "heap_factor": 0.6,
+                       "two_phase": False},
+        "qc10_hf0.5": {"query_cut": 10, "heap_factor": 0.5,
+                       "two_phase": False},
+        "qc8_hf0.6": {"query_cut": 8, "heap_factor": 0.6, "two_phase": False},
+    }
+    names = (args.variants.split(",") if args.variants
+             else list(all_variants))
+    variants = [{"name": n, **all_variants[n]} for n in names]
 
     # warm the UDF workers once, untimed
     knn_mod.build_knn(idx_geo, nknn=5, query_cut=3, heap_factor=0.7).count()
