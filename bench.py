@@ -153,6 +153,11 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
     # e=0.8 index (r2's config) — the measured-cheapest graph-construction
     # config (r3: kmeans-serving knn 1.6× slower side-by-side); the index
     # build is timed separately (build_knn_index) so `knn` is the graph job.
+    # heap_factor=0.6 is the round-5 sweep's choice (BENCH/knn_sweep_r5*.json,
+    # tools/bench_knn.py): query_cut is the accuracy lever (qc5 drops graph
+    # accuracy 0.96 -> 0.824 — the candidate pool IS the matched lists'
+    # union) while hf 0.7 -> 0.6 at qc10 holds accuracy at exactly 0.96 and
+    # cut the graph job to ~0.64x in a same-window interleaved sweep.
     from seismic_spark import knn as knn_mod
     from seismic_spark import search as srch
 
@@ -165,14 +170,14 @@ def run(sf_dir: str, cores: int, quiet: bool = False) -> dict:
     timings["build_knn_index"] = round(time.time() - t0, 3)
 
     t0 = time.time()
-    knn_df = knn_mod.build_knn(idx_geo, nknn=5, query_cut=10, heap_factor=0.7)
+    knn_df = knn_mod.build_knn(idx_geo, nknn=5, query_cut=10, heap_factor=0.6)
     knn_df = knn_df.persist()
     knn_df.count()
     timings["knn"] = round(time.time() - t0, 3)
     extras["knn_docs_per_sec"] = round(n_docs / timings["knn"], 1)
 
     # graph accuracy: sampled docs' approximate neighbors vs exact
-    # (hf=1.0, unpruned index) self-search — the quality the 0.7/geometric
+    # (hf=1.0, unpruned index) self-search — the quality the 0.6/geometric
     # shortcut actually delivers
     sampleq = (
         idx.forward.filter(F.col("doc_id") % 100 == 0)

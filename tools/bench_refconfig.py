@@ -15,9 +15,9 @@ with it on its 8.8M-doc MSMARCO corpus:
 
 This harness runs the engine at EXACTLY that config on the 1M-doc synthetic
 corpus (the scaling campaign's input table) and reports Accuracy@10 against
-full-exact BM25 top-10 (an unpruned upper-bound-summary index searched at
-heap_factor=1.0 — lossless, and the queries have <= 6 terms so query_cut=10
-cuts nothing).  Engine-chosen configs appear in the round-3 grids; this row
+full-exact BM25 top-10 (brute-force full scan over the forward table — Q10,
+exact by definition; the queries have <= 6 terms so query_cut=10 cuts
+nothing).  Engine-chosen configs appear in the round-3 grids; this row
 makes the parity claim direct at the reference's own operating point.
 
 tests/test_refconfig_accuracy.py pins Accuracy@10 >= 0.95 at the same
@@ -91,14 +91,6 @@ idx = SeismicSparkIndex.build(spark, docs, IndexConfig(
 idx.postings.count()
 build_sec = round(time.time() - t0, 2)
 
-# --- exact ground truth: unpruned + true-UB summaries + hf=1.0 = lossless --
-t0 = time.time()
-idx_exact = SeismicSparkIndex.build(spark, docs, IndexConfig(
-    n_postings=10**9, pruning="fixed", summary_energy=1.0, quant_ceil=True,
-))
-idx_exact.postings.count()
-build_exact_sec = round(time.time() - t0, 2)
-
 terms = [r["term"] for r in idx.vocab.filter(F.col("df") > 5).select("term").collect()]
 qs = bench_queries(terms, n=n_queries)
 
@@ -110,11 +102,16 @@ approx = idx.batch_search(qs, k=10, query_cut=10, heap_factor=0.8,
 n_approx = approx.count()
 search_sec = round(time.time() - t0, 2)
 
+# --- exact ground truth: full-scan brute force over the forward table ------
+# (exact BM25 by definition — Q10; an UNPRUNED 1M index would serve too but
+# its stopword posting lists make the oracle build far costlier than the
+# oracle query.  The queries have <= 6 terms so query_cut=10 cuts nothing.)
 t0 = time.time()
-exact = idx_exact.batch_search(qs, k=10, query_cut=10, heap_factor=1.0,
-                               two_phase=False).persist()
+qvecs = srch.resolve_queries(spark, qs, idx.vocab)
+exact = srch.bruteforce_search(spark, idx.forward, qvecs, k=10).persist()
 n_exact = exact.count()
 exact_sec = round(time.time() - t0, 2)
+build_exact_sec = 0.0
 
 inter = (approx.select("query_id", "doc_id")
     .join(exact.select("query_id", "doc_id"), ["query_id", "doc_id"])
@@ -139,6 +136,7 @@ print("RESULT " + json.dumps({
     "accuracy_at_10": round(float(acc), 4),
     "n_queries": len(qs), "n_approx_rows": n_approx, "n_exact_rows": n_exact,
     "skip_rate_50q": stats["skip_rate"],
+    "oracle": "bruteforce_forward_scan",
     "build_sec": build_sec, "build_exact_sec": build_exact_sec,
     "search_sec": search_sec, "search_exact_sec": exact_sec,
     "search_qps": round(len(qs) / search_sec, 2),
@@ -180,9 +178,16 @@ def main() -> None:
         (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")), None
     )
     if line is None:
+        with open("/tmp/refconfig_child_stdout.log", "w") as f:
+            f.write(proc.stdout)
+        with open("/tmp/refconfig_child_stderr.log", "w") as f:
+            f.write(proc.stderr)
         print(proc.stdout[-3000:])
         print(proc.stderr[-3000:])
-        raise SystemExit("child produced no RESULT line")
+        raise SystemExit(
+            "child produced no RESULT line (full logs: "
+            "/tmp/refconfig_child_{stdout,stderr}.log)"
+        )
     rec = json.loads(line[len("RESULT "):])
     rec.update(
         {
