@@ -361,6 +361,35 @@ def _q_doc_lookup(spark, sf_dir):
     )
 
 
+def _q_term_id_compaction(spark, sf_dir):
+    """u32/LV component-id remap (sources/vectors.compact_term_ids): high
+    BIGINT component ids (>= 2^31, the reference's LV variant,
+    pylib/mod.rs:1159-1166) compact to dense monotone int32 ids.  The
+    vector table is synthesized arithmetically from `documents` so the
+    DuckDB twin reproduces it exactly; the contract output is the id_map
+    (old_id -> term_id), the join the remapped vectors themselves ride."""
+    from seismic_spark.sources.vectors import compact_term_ids
+
+    _tune(spark)
+    base = F.lit(2147483648)  # 2^31 — every synthesized id is u32-high
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array(
+            *[
+                (base + (F.col("doc_id") * 37 + F.lit(j * 1009)) % 1000003)
+                .cast("bigint")
+                for j in range(3)
+            ]
+        ).alias("terms"),
+        F.array(*[F.lit(float(j + 1)) for j in range(3)]).alias("weights"),
+    )
+    _, id_map = compact_term_ids(docs)
+    return id_map.select(
+        F.col("old_id").cast("bigint").alias("old_id"),
+        F.col("term_id").cast("int").alias("term_id"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from seismic_spark.operators.dedup import exact_dedup
 
@@ -555,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seismic_topk": _q_seismic_topk,
         "postings_stats": _q_postings_stats,
         "doc_lookup": _q_doc_lookup,
+        "term_id_compaction": _q_term_id_compaction,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash,
         "lsh_candidate_pairs": _q_lsh_pairs,
@@ -677,6 +707,14 @@ SELECT term_id, CAST(least(df, 16) AS BIGINT) AS n_docs,
 FROM v
 """,
         "doc_lookup": "SELECT doc_id, text, lang FROM documents WHERE doc_id IN (1, 2, 3, 42)",
+        "term_id_compaction": """
+WITH olds AS (
+  SELECT DISTINCT 2147483648 + ((doc_id * 37 + j * 1009) % 1000003) AS old_id
+  FROM documents, (VALUES (0), (1), (2)) AS t(j)
+)
+SELECT old_id, CAST(ROW_NUMBER() OVER (ORDER BY old_id) - 1 AS INT) AS term_id
+FROM olds
+""",
         "dedup_exact": """
 SELECT min(doc_id) AS kept_doc_id, CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY md5(text)
