@@ -437,6 +437,15 @@ _DRIVER_THETA_MAX_ROWS = int(
 # column pruning), so nothing is persisted; gaps are re-fetched from the
 # postings scan for SURVIVING blocks only.  Trades the ubs persist + wide
 # scan for one extra narrow scan job.
+#
+# MEASURED AND REJECTED as a default (tools/bench_serving.py, 1M docs,
+# canary-valid interleaved ABAB, BENCH/serving_r5.json): the extra fetch
+# jobs cost more than skipping the gaps column saves at every batch size
+# (batch 10 median 6.17 s vs 4.20 s base; batch 100: 6.96 vs 4.33).  The
+# gap blobs are small relative to the summaries the UB scan must read
+# anyway, and the persisted ubs frame makes the survivor filter free.
+# Kept env-gated for storage layouts where the gaps column is genuinely
+# expensive to read (e.g. remote object storage with wide blobs).
 _FASTPATH_DEFER_GAPS = (
     os.environ.get("SEISMIC_FASTPATH_DEFER_GAPS", "0") == "1"
 )
