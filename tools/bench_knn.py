@@ -127,6 +127,14 @@ def main() -> None:
         "qc5_hf0.6": {"query_cut": 5, "heap_factor": 0.6, "two_phase": False},
         "qc10_hf0.6": {"query_cut": 10, "heap_factor": 0.6,
                        "two_phase": False},
+        # shuffle-width lever (VERDICT r4 #5's AQE-coalescing suggestion):
+        # at graph scale every shuffle partition is tiny, so the fixed
+        # distributed chain is schedule-bound — fewer/wider partitions
+        # trade parallelism for fewer tasks per stage.
+        "qc10_hf0.6_sp8": {"query_cut": 10, "heap_factor": 0.6,
+                           "two_phase": False, "shuffle_partitions": 8},
+        "qc10_hf0.6_sp64": {"query_cut": 10, "heap_factor": 0.6,
+                            "two_phase": False, "shuffle_partitions": 64},
         "qc10_hf0.5": {"query_cut": 10, "heap_factor": 0.5,
                        "two_phase": False},
         "qc8_hf0.6": {"query_cut": 8, "heap_factor": 0.6, "two_phase": False},
@@ -139,8 +147,11 @@ def main() -> None:
     knn_mod.build_knn(idx_geo, nknn=5, query_cut=3, heap_factor=0.7).count()
 
     results = []
+    base_sp = spark.conf.get("spark.sql.shuffle.partitions")
     for rep in range(args.reps):
         for v in variants:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(v.get("shuffle_partitions", base_sp)))
             t0 = time.time()
             g = knn_mod.build_knn(
                 idx_geo, nknn=5, query_cut=v["query_cut"],
@@ -148,6 +159,7 @@ def main() -> None:
             ).persist()
             g.count()
             sec = round(time.time() - t0, 2)
+            spark.conf.set("spark.sql.shuffle.partitions", base_sp)
             acc = accuracy(g)
             g.unpersist()
             results.append({**v, "rep": rep, "sec": sec, "accuracy": acc,
