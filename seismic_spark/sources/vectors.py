@@ -284,6 +284,10 @@ def compact_term_ids(vectors: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Distributed: explode → join on old id (shuffle; the map can be
     vocabulary-sized, never broadcast-assumed) → re-assemble sorted arrays.
+    Only (doc_id, old_id, weight) rows travel through the explode/agg
+    shuffles — wide ride-along columns (content blobs) would otherwise be
+    duplicated once PER TERM by the explode, so they are joined back on
+    doc_id after re-assembly instead.
     """
     from seismic_spark import vocab as _voc
 
@@ -298,17 +302,15 @@ def compact_term_ids(vectors: DataFrame) -> tuple[DataFrame, DataFrame]:
     extra = [c for c in vectors.columns if c not in ("doc_id", "terms", "weights")]
     exploded = vectors.select(
         "doc_id",
-        *extra,
-        F.posexplode(F.arrays_zip("terms", "weights")).alias("_pos", "z"),
+        F.explode(F.arrays_zip("terms", "weights")).alias("z"),
     ).select(
         "doc_id",
-        *extra,
         F.col("z.terms").cast("bigint").alias("old_id"),
         F.col("z.weights").alias("weight"),
     )
     remapped = (
         exploded.join(id_map, "old_id")
-        .groupBy("doc_id", *extra)
+        .groupBy("doc_id")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("term_id", "weight"))
@@ -318,9 +320,10 @@ def compact_term_ids(vectors: DataFrame) -> tuple[DataFrame, DataFrame]:
             "doc_id",
             F.col("_z.term_id").alias("terms"),
             F.col("_z.weight").cast("array<float>").alias("weights"),
-            *extra,
         )
     )
+    if extra:
+        remapped = remapped.join(vectors.select("doc_id", *extra), "doc_id")
     return remapped, id_map
 
 

@@ -271,6 +271,29 @@ def test_u32_remap_round_trip(spark, high_id_bin):
     assert [r["doc_id"] for r in sorted(res, key=lambda r: r["rank"])] == [1, 2]
 
 
+def test_compact_term_ids_extra_columns_ride_along(spark):
+    """Wide ride-along columns (content) survive compaction with correct
+    per-doc pairing — and never travel through the explode (they are joined
+    back on doc_id after re-assembly)."""
+    vecs = spark.createDataFrame(
+        [
+            (0, [2**31 + 9, 5], [1.0, 2.0], "doc zero"),
+            (1, [2**31 + 9], [3.0], "doc one"),
+        ],
+        "doc_id BIGINT, terms ARRAY<BIGINT>, weights ARRAY<FLOAT>, "
+        "content STRING",
+    )
+    remapped, id_map = srcv.compact_term_ids(vecs)
+    m = {r["old_id"]: r["term_id"] for r in id_map.collect()}
+    assert m == {5: 0, 2**31 + 9: 1}
+    rows = {r["doc_id"]: r for r in remapped.collect()}
+    assert rows[0]["content"] == "doc zero"
+    assert rows[1]["content"] == "doc one"
+    assert list(rows[0]["terms"]) == [0, 1]  # monotone: 5 -> 0, high -> 1
+    assert list(rows[0]["weights"]) == [2.0, 1.0]  # weights follow their term
+    assert list(rows[1]["terms"]) == [1] and list(rows[1]["weights"]) == [3.0]
+
+
 # ------------------------------------------------------------ get(id) ------
 
 
