@@ -308,7 +308,7 @@ def compact_term_ids(vectors: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("z.terms").cast("bigint").alias("old_id"),
         F.col("z.weights").alias("weight"),
     )
-    remapped = (
+    assembled = (
         exploded.join(id_map, "old_id")
         .groupBy("doc_id")
         .agg(
@@ -322,8 +322,22 @@ def compact_term_ids(vectors: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("_z.weight").cast("array<float>").alias("weights"),
         )
     )
-    if extra:
-        remapped = remapped.join(vectors.select("doc_id", *extra), "doc_id")
+    # left join from the full doc set: a doc with an EMPTY vector survives
+    # compaction with empty arrays instead of silently disappearing
+    remapped = (
+        vectors.select("doc_id", *extra)
+        .join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "terms", F.expr("CAST(array() AS ARRAY<INT>)")
+            ).alias("terms"),
+            F.coalesce(
+                "weights", F.expr("CAST(array() AS ARRAY<FLOAT>)")
+            ).alias("weights"),
+            *extra,
+        )
+    )
     return remapped, id_map
 
 

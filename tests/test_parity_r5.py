@@ -279,6 +279,7 @@ def test_compact_term_ids_extra_columns_ride_along(spark):
         [
             (0, [2**31 + 9, 5], [1.0, 2.0], "doc zero"),
             (1, [2**31 + 9], [3.0], "doc one"),
+            (2, [], [], "doc empty"),
         ],
         "doc_id BIGINT, terms ARRAY<BIGINT>, weights ARRAY<FLOAT>, "
         "content STRING",
@@ -292,6 +293,9 @@ def test_compact_term_ids_extra_columns_ride_along(spark):
     assert list(rows[0]["terms"]) == [0, 1]  # monotone: 5 -> 0, high -> 1
     assert list(rows[0]["weights"]) == [2.0, 1.0]  # weights follow their term
     assert list(rows[1]["terms"]) == [1] and list(rows[1]["weights"]) == [3.0]
+    # empty-vector doc survives with empty arrays, not a dropped row
+    assert list(rows[2]["terms"]) == [] and list(rows[2]["weights"]) == []
+    assert rows[2]["content"] == "doc empty"
 
 
 # ------------------------------------------------------------ get(id) ------
