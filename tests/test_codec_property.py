@@ -91,3 +91,41 @@ def test_quantize_u8_bounds(vals, ceil):
         # the same f32 arithmetic the scorer uses and bumps codes until it
         # holds) — no tolerance here
         assert np.all(deq.astype(np.float64) >= v)
+
+
+# -------------------------------------------------- duplicate-query merge --
+
+qvec_entries = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # small id space forces dups
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False, width=64,
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(qvec_entries, st.randoms(use_true_random=False))
+def test_merge_dup_qvecs_permutation_invariant(entries, rnd):
+    """search._merge_dup_qvecs must return bitwise-identical merged vectors
+    for ANY permutation of the caller's (term, weight) pairs — this is the
+    property the fast-path/in-plan bitwise-identity contract rests on for
+    duplicate-term queries (both paths consume the one merged result)."""
+    from seismic_spark import search as srch
+
+    def run(pairs):
+        t = np.asarray([p[0] for p in pairs], dtype=np.int64)
+        w = np.asarray([p[1] for p in pairs], dtype=np.float64)
+        out_t, out_w = srch._merge_dup_qvecs({"q": (t, w)})["q"]
+        return out_t.tolist(), out_w.tolist()
+
+    base = run(entries)
+    shuffled = list(entries)
+    rnd.shuffle(shuffled)
+    assert run(shuffled) == base  # == on floats: bitwise, not approx
+    # merged ids are strictly ascending and duplicate-free
+    assert base[0] == sorted(set(base[0]))
