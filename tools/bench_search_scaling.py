@@ -1,0 +1,205 @@
+"""Search-only N->4N scaling at the DESIGN POINT (index-scale batches).
+
+The r4/r5 scaling pairs measured search efficiency at batch 1000, where the
+batch-size sweep (tools/bench_batchsize.py, BENCH/BASELINE.md) showed a ~6 s
+per-batch fixed cost still dominates — raw 4->16-core search efficiency of
+0.27-0.42 is that fixed cost failing to amortize, not the scoring work
+failing to parallelize.  The prediction that falls out: at batch 10 000,
+where the marginal per-query work IS the cost, search efficiency should
+rise toward the build numbers.  This harness tests that prediction — the
+north-rule criterion at the batch size the engine is designed for.
+
+Method: ONE index (restored from the scaling campaign's 16-core checkpoint;
+search is read-only, so both parallelism levels legitimately share it —
+build scaling is bench_scaling.py's job), the same batch of 10 000 queries,
+run at N and 4N cores on fresh standalone clusters, reps per level with
+medians.  Canary protocol identical to bench_scaling.run_level: pre/post
+brackets + 30 s in-run watcher, validity = brackets >= --valid and in-run
+min >= --inrun-floor.
+
+Usage: python tools/bench_search_scaling.py [--docs 1000000]
+       [--vocab 100000] [--n 4] [--batch 10000] [--reps 3]
+       [--ckpt /dev/shm/scaling-ckpt-16] [--out /tmp/search_scaling.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_scaling import DAEMON_ENV, MASTER, ensure_cluster, stop_cluster  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, "@REPO@")
+from pyspark.sql import SparkSession, functions as F
+from seismic_spark.checkpoint import CheckpointedBuild
+from seismic_spark.postings import IndexConfig
+from seismic_spark.sources.pages import synth_pages
+from bench import bench_queries
+
+cores_max = @CORES@
+n_docs = @NDOCS@
+vocab_size = @VOCAB@
+batch = @BATCH@
+reps = @REPS@
+spark = (SparkSession.builder.appName("search-scaling-%d" % cores_max)
+    .master("@MASTER@")
+    .config("spark.cores.max", str(cores_max))
+    .config("spark.executor.cores", "2")
+    .config("spark.executor.memory", "7g")
+    .config("spark.executorEnv.PYTHONPATH", "@REPO@")
+    .config("spark.locality.wait", "1s")
+    .config("spark.sql.shuffle.partitions", "128")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+input_path = "/dev/shm/scaling-input-%d-%d" % (n_docs, vocab_size)
+if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+    pages = synth_pages(spark, n_docs, vocab_size=vocab_size, seed=42, partitions=64)
+    pages.select("url", "text").withColumn(
+        "doc_id", F.abs(F.xxhash64("url"))
+    ).write.mode("overwrite").parquet(input_path)
+docs = spark.read.parquet(input_path)
+
+t0 = time.time()
+idx = CheckpointedBuild(spark, "@CKPT@", resume=True, lineage_detail="light").build(
+    docs, IndexConfig(n_postings=1000, pruning="fixed",
+                      summary_energy=0.5, quant_ceil=True)
+)
+resume_sec = time.time() - t0
+
+terms = [r["term"] for r in
+         idx.vocab.filter(F.col("df") > 5).select("term").collect()]
+qs = bench_queries(terms, n=batch)
+
+# warmup outside the timings (Python workers, broadcast machinery)
+idx.batch_search(qs[:10], k=10, query_cut=10, heap_factor=0.8).count()
+
+secs = []
+for _ in range(reps):
+    t0 = time.time()
+    idx.batch_search(qs, k=10, query_cut=10, heap_factor=0.8).count()
+    secs.append(round(time.time() - t0, 2))
+med = sorted(secs)[len(secs) // 2]
+
+spark.stop()
+print("RESULT " + json.dumps({
+    "cores": cores_max, "docs": n_docs, "vocab": vocab_size,
+    "batch": batch, "resume_sec": round(resume_sec, 2),
+    "secs": secs, "sec_med": med, "qps": round(batch / med, 2),
+}))
+"""
+
+
+def run_level(cores: int, args) -> dict:
+    from canary import measure
+
+    child = (
+        CHILD.replace("@REPO@", REPO)
+        .replace("@MASTER@", MASTER)
+        .replace("@CORES@", str(cores))
+        .replace("@NDOCS@", str(args.docs))
+        .replace("@VOCAB@", str(args.vocab))
+        .replace("@BATCH@", str(args.batch))
+        .replace("@REPS@", str(args.reps))
+        .replace("@CKPT@", args.ckpt)
+    )
+    pre = measure()
+    in_run: list[float] = []
+    stop = threading.Event()
+
+    def watch() -> None:
+        while not stop.wait(30.0):
+            in_run.append(measure()["first_touch_mbps"])
+
+    t = threading.Thread(target=watch, daemon=True)
+    t.start()
+    try:
+        env = dict(os.environ, PYTHONPATH=REPO, **DAEMON_ENV)
+        proc = subprocess.run(
+            [sys.executable, "-c", child], capture_output=True,
+            text=True, timeout=3600, env=env,
+        )
+    finally:
+        stop.set()
+        t.join(timeout=5)
+    post = measure()
+    line = next(
+        (ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")), None
+    )
+    if line is None:
+        raise RuntimeError(proc.stdout[-1500:] + "\n" + proc.stderr[-3000:])
+    res = json.loads(line[len("RESULT "):])
+    res["canary_pre_mbps"] = pre["first_touch_mbps"]
+    res["canary_post_mbps"] = post["first_touch_mbps"]
+    res["canary_in_run_min_mbps"] = min(in_run) if in_run else None
+    res["canary_in_run"] = in_run
+    return res
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vocab", type=int, default=100_000)
+    ap.add_argument("--n", type=int, default=4, help="small size in cores")
+    ap.add_argument("--batch", type=int, default=10_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ckpt", default="/dev/shm/scaling-ckpt-16")
+    ap.add_argument("--valid", type=float, default=900.0)
+    ap.add_argument("--inrun-floor", type=float, default=35.0)
+    ap.add_argument("--order", default="small-first",
+                    choices=["small-first", "big-first"])
+    ap.add_argument("--out", default="/tmp/search_scaling.json")
+    args = ap.parse_args()
+
+    levels = [args.n, args.n * 4]
+    if args.order == "big-first":
+        levels = levels[::-1]
+    pair = {}
+    ensure_cluster(workers=8)
+    try:
+        for c in levels:
+            pair[str(c)] = run_level(c, args)
+    finally:
+        stop_cluster()
+    small, big = pair[str(args.n)], pair[str(args.n * 4)]
+    canaries = [
+        small["canary_pre_mbps"], small["canary_post_mbps"],
+        big["canary_pre_mbps"], big["canary_post_mbps"],
+    ]
+    in_run_mins = [
+        x["canary_in_run_min_mbps"] for x in (small, big)
+        if x.get("canary_in_run_min_mbps") is not None
+    ]
+    rec = {
+        "ts": round(time.time(), 1), "order": levels,
+        "docs": args.docs, "vocab": args.vocab, "batch": args.batch,
+        "pair": pair,
+        "eff_search": round(small["sec_med"] / big["sec_med"] / 4, 3),
+        "canaries": canaries,
+        "in_run_min": min(in_run_mins) if in_run_mins else None,
+        "valid": min(canaries) >= args.valid
+        and (not in_run_mins or min(in_run_mins) >= args.inrun_floor),
+    }
+    with open(args.out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(
+        {k: v for k, v in rec.items() if k != "pair"}, indent=1
+    ))
+
+
+if __name__ == "__main__":
+    main()
