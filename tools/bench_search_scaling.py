@@ -150,24 +150,7 @@ def run_level(cores: int, args) -> dict:
     return res
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=1_000_000)
-    ap.add_argument("--vocab", type=int, default=100_000)
-    ap.add_argument("--n", type=int, default=4, help="small size in cores")
-    ap.add_argument("--batch", type=int, default=10_000)
-    ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--ckpt", default="/dev/shm/scaling-ckpt-16")
-    ap.add_argument("--valid", type=float, default=900.0)
-    ap.add_argument("--inrun-floor", type=float, default=35.0)
-    ap.add_argument("--order", default="small-first",
-                    choices=["small-first", "big-first"])
-    ap.add_argument("--out", default="/tmp/search_scaling.json")
-    args = ap.parse_args()
-
-    levels = [args.n, args.n * 4]
-    if args.order == "big-first":
-        levels = levels[::-1]
+def run_pair(args, levels: list[int]) -> dict:
     pair = {}
     ensure_cluster(workers=8)
     try:
@@ -198,7 +181,71 @@ def main() -> None:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(
         {k: v for k, v in rec.items() if k != "pair"}, indent=1
-    ))
+    ), flush=True)
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vocab", type=int, default=100_000)
+    ap.add_argument("--n", type=int, default=4, help="small size in cores")
+    ap.add_argument("--batch", type=int, default=10_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ckpt", default="/dev/shm/scaling-ckpt-16")
+    ap.add_argument("--valid", type=float, default=900.0)
+    ap.add_argument("--inrun-floor", type=float, default=35.0)
+    ap.add_argument("--healthy", type=float, default=1300.0,
+                    help="--collect start gate: two consecutive first-touch"
+                         " readings >= this before an attempt launches")
+    ap.add_argument("--collect", type=int, default=0,
+                    help="canary-gated collection: wait for a healthy window,"
+                         " attempt, repeat until N valid pairs (ABBA order)")
+    ap.add_argument("--timeout-hours", type=float, default=6.0)
+    ap.add_argument("--order", default="small-first",
+                    choices=["small-first", "big-first"])
+    ap.add_argument("--out", default="/tmp/search_scaling.json")
+    args = ap.parse_args()
+
+    levels = [args.n, args.n * 4]
+    if args.order == "big-first":
+        levels = levels[::-1]
+
+    if not args.collect:
+        run_pair(args, levels)
+        return
+
+    # canary-gated collection, the bench_scaling protocol: wait for two
+    # consecutive healthy probes, attempt a pair, alternate leg order per
+    # attempt, stop at --collect valid pairs or the deadline
+    from canary import measure
+
+    deadline = time.time() + args.timeout_hours * 3600
+    n_valid = 0
+    attempt = 0
+    while n_valid < args.collect and time.time() < deadline:
+        r1 = measure()
+        print(json.dumps({"probe": r1["first_touch_mbps"]}), flush=True)
+        if r1["first_touch_mbps"] < args.healthy:
+            time.sleep(120)
+            continue
+        time.sleep(20)
+        if measure()["first_touch_mbps"] < args.healthy:
+            time.sleep(120)
+            continue
+        order = levels if attempt % 2 == 0 else levels[::-1]
+        attempt += 1
+        try:
+            rec = run_pair(args, order)
+        except Exception as e:  # noqa: BLE001 — record and keep collecting
+            rec = {"ts": round(time.time(), 1), "order": order,
+                   "error": str(e)[:500], "valid": False}
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec)[:600], flush=True)
+        if rec.get("valid"):
+            n_valid += 1
+    print(json.dumps({"valid_pairs": n_valid, "out": args.out}), flush=True)
 
 
 if __name__ == "__main__":
