@@ -53,7 +53,7 @@ spark = (SparkSession.builder.appName("designpoint")
     .master("@MASTER@")
     .config("spark.cores.max", "16")
     .config("spark.executor.cores", "2")
-    .config("spark.executor.memory", "7g")
+    .config("spark.executor.memory", "4g")
     .config("spark.executorEnv.PYTHONPATH", "@REPO@")
     .config("spark.locality.wait", "1s")
     .config("spark.sql.shuffle.partitions", "128")

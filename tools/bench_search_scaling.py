@@ -56,7 +56,7 @@ spark = (SparkSession.builder.appName("search-scaling-%d" % cores_max)
     .master("@MASTER@")
     .config("spark.cores.max", str(cores_max))
     .config("spark.executor.cores", "2")
-    .config("spark.executor.memory", "7g")
+    .config("spark.executor.memory", "@EXECMEM@")
     .config("spark.executorEnv.PYTHONPATH", "@REPO@")
     .config("spark.locality.wait", "1s")
     .config("spark.sql.shuffle.partitions", "128")
@@ -116,6 +116,7 @@ def run_level(cores: int, args) -> dict:
         .replace("@BATCH@", str(args.batch))
         .replace("@REPS@", str(args.reps))
         .replace("@CKPT@", args.ckpt)
+        .replace("@EXECMEM@", args.exec_mem)
     )
     pre = measure()
     in_run: list[float] = []
@@ -193,6 +194,14 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=10_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--ckpt", default="/dev/shm/scaling-ckpt-16")
+    # Search is read-mostly: the persisted ubs frame for a 10k-query batch
+    # is O(100 MB) cluster-wide, so the build campaign's 7g/executor is all
+    # dead weight here — and on THIS host every freshly-faulted heap page
+    # goes through the hypervisor's allocation-rate throttle (the r4
+    # recalibration's measured mechanism).  The 16-core leg faults 8×heap
+    # vs the 4-core leg's 2×heap, so oversized heaps bias the RATIO, not
+    # just the level.  Same value at both levels keeps the pair fair.
+    ap.add_argument("--exec-mem", default="4g")
     ap.add_argument("--valid", type=float, default=900.0)
     ap.add_argument("--inrun-floor", type=float, default=35.0)
     ap.add_argument("--healthy", type=float, default=1300.0,
