@@ -53,9 +53,30 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(_extract_text_py)
 
 
-def with_extracted_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    """Add/replace ``text`` with the deterministic extraction of ``html``."""
-    return pages.withColumn("text", extract_text_udf(F.col(html_col)))
+def with_extracted_text(
+    pages: DataFrame,
+    html_col: str = "html",
+    extractor=None,
+) -> DataFrame:
+    """Add/replace ``text`` with the deterministic extraction of ``html``.
+
+    ``extractor``: optional batch-level callable ``pd.Series[bytes|None] ->
+    pd.Series[str]`` swapped in at the same Arrow seam — the production
+    deployment hook for a compiled HTML extractor (lxml/selectolax/trafilatura
+    are not in this container).  Same pattern as the multimodal decoder seam
+    (operators/multimodal.decode_binary_column(decoder=...)): the Spark-side
+    plumbing (Arrow batching, schema, column contract) is identical for the
+    default regex extractor and any injected one, so swapping the extractor
+    cannot change the plan.  The default remains the pure-regex extraction
+    whose byte-identical-per-url invariant the tests pin; an injected
+    extractor takes over that invariant (it must itself be a pure function
+    of the input bytes).
+    """
+    if extractor is None:
+        udf = extract_text_udf
+    else:
+        udf = pandas_udf(extractor, StringType())
+    return pages.withColumn("text", udf(F.col(html_col)))
 
 
 def tokens_col(text: Column) -> Column:

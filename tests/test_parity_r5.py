@@ -356,3 +356,39 @@ def test_decode_binary_column_pil_path(spark):
     r = mm.decode_binary_column(df).collect()[0]
     assert (r["width"], r["height"]) == (7, 3)
     assert r["mean_byte"] == pytest.approx(100.0)
+
+
+# -------------------------------------------------- HTML extractor seam --
+
+
+def test_with_extracted_text_injected_extractor(spark):
+    """The Arrow extraction seam accepts a swapped-in batch extractor
+    (production hook for a compiled HTML parser) while the default regex
+    path stays byte-identical to _extract_text_py."""
+    from seismic_spark import textprep
+
+    pages = spark.createDataFrame(
+        [("u0", bytearray(b"<p>hello <b>world</b></p>")),
+         ("u1", bytearray(b"<script>junk()</script>text")),
+         ("u2", None)],
+        "url STRING, html BINARY",
+    )
+    default = {
+        r["url"]: r["text"]
+        for r in textprep.with_extracted_text(pages).collect()
+    }
+    assert default == {"u0": "hello world", "u1": "text", "u2": ""}
+
+    def upper_extractor(html):
+        return html.map(
+            lambda b: "" if b is None else bytes(b).decode().upper()
+        )
+
+    injected = {
+        r["url"]: r["text"]
+        for r in textprep.with_extracted_text(
+            pages, extractor=upper_extractor
+        ).collect()
+    }
+    assert injected["u0"] == "<P>HELLO <B>WORLD</B></P>"
+    assert injected["u2"] == ""
