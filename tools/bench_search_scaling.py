@@ -13,9 +13,19 @@ Method: ONE index (restored from the scaling campaign's 16-core checkpoint;
 search is read-only, so both parallelism levels legitimately share it —
 build scaling is bench_scaling.py's job), the same batch of 10 000 queries,
 run at N and 4N cores on fresh standalone clusters, reps per level with
-medians.  Canary protocol identical to bench_scaling.run_level: pre/post
-brackets + 30 s in-run watcher, validity = brackets >= --valid and in-run
-min >= --inrun-floor.
+medians.
+
+Canary protocol — PAUSE-PROBE variant of the bench_scaling gates.  The
+standing in-run floor conflates two signals for THIS workload: the canary
+measures page-allocation supply, and a batch-10000 search leg saturates it
+by itself (7/7 archived attempts in scaling_samples_r5_searchonly.jsonl:
+16c in-rep minima 5-11 MB/s while the 4c legs of the SAME attempts read
+189-936 — perfectly systematic, so it is self-contention, not weather).
+The child therefore sleeps --pause-sec before each timed rep and prints
+MARK lines; the watcher's samples that fall wholly inside those quiescent
+windows read host health with the workload parked.  Validity = pre/post
+brackets >= --valid AND every pause-window sample >= --pause-floor at both
+levels.  In-rep minima are recorded for transparency but cannot gate.
 
 Usage: python tools/bench_search_scaling.py [--docs 1000000]
        [--vocab 100000] [--n 4] [--batch 10000] [--reps 3]
@@ -88,8 +98,19 @@ qs = bench_queries(terms, n=batch)
 # warmup outside the timings (Python workers, broadcast machinery)
 idx.batch_search(qs[:10], k=10, query_cut=10, heap_factor=0.8).count()
 
+# Pause-probe protocol: the parent's canary watcher measures page-supply
+# first-touch, which a saturating search rep ALWAYS drags down (the canary
+# and the workload compete for the same page supply — 7/7 archived attempts
+# show 16c in-rep minima of 5-11 MB/s while the 4c legs of the SAME attempts
+# read 189-936).  Sleeping between reps exposes workload-free windows; the
+# parent classifies its samples by these marks and gates host health on the
+# PAUSE readings, where the only competitor is idle-JVM background.
+pause = @PAUSE@
 secs = []
-for _ in range(reps):
+for i in range(reps):
+    print("MARK pause_start %f" % time.time(), flush=True)
+    time.sleep(pause)
+    print("MARK pause_end %f" % time.time(), flush=True)
     t0 = time.time()
     idx.batch_search(qs, k=10, query_cut=10, heap_factor=0.8).count()
     secs.append(round(time.time() - t0, 2))
@@ -116,15 +137,18 @@ def run_level(cores: int, args) -> dict:
         .replace("@BATCH@", str(args.batch))
         .replace("@REPS@", str(args.reps))
         .replace("@CKPT@", args.ckpt)
+        .replace("@PAUSE@", str(args.pause_sec))
         .replace("@EXECMEM@", args.exec_mem)
     )
     pre = measure()
-    in_run: list[float] = []
+    samples: list[tuple[float, float, float]] = []  # (t_start, t_end, mbps)
     stop = threading.Event()
 
     def watch() -> None:
-        while not stop.wait(30.0):
-            in_run.append(measure()["first_touch_mbps"])
+        while not stop.wait(8.0):
+            t0 = time.time()
+            mbps = measure()["first_touch_mbps"]
+            samples.append((t0, time.time(), mbps))
 
     t = threading.Thread(target=watch, daemon=True)
     t.start()
@@ -144,10 +168,32 @@ def run_level(cores: int, args) -> dict:
     if line is None:
         raise RuntimeError(proc.stdout[-1500:] + "\n" + proc.stderr[-3000:])
     res = json.loads(line[len("RESULT "):])
+
+    # classify watcher samples by the child's inter-rep pause marks: a
+    # sample whose whole [t_start, t_end] lies inside a pause window read
+    # the host's page supply with the workload quiescent — the host-health
+    # signal; in-rep samples measure the leg's own page-supply contention
+    # (reported, not gated: a saturating leg ALWAYS drags them down).
+    marks = {"pause_start": [], "pause_end": []}
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("MARK "):
+            _, name, ts = ln.split()
+            marks[name].append(float(ts))
+    pauses = list(zip(marks["pause_start"], marks["pause_end"]))
+    pause_reads = [
+        m for (a, b, m) in samples
+        if any(p0 + 0.5 <= a and b <= p1 - 0.5 for (p0, p1) in pauses)
+    ]
+    inrep_reads = [
+        m for (a, b, m) in samples
+        if not any(p0 - 0.5 <= a and b <= p1 + 0.5 for (p0, p1) in pauses)
+    ]
     res["canary_pre_mbps"] = pre["first_touch_mbps"]
     res["canary_post_mbps"] = post["first_touch_mbps"]
-    res["canary_in_run_min_mbps"] = min(in_run) if in_run else None
-    res["canary_in_run"] = in_run
+    res["canary_pause_min_mbps"] = min(pause_reads) if pause_reads else None
+    res["canary_pause"] = pause_reads
+    res["canary_in_rep_min_mbps"] = min(inrep_reads) if inrep_reads else None
+    res["canary_in_rep"] = inrep_reads
     return res
 
 
@@ -164,9 +210,9 @@ def run_pair(args, levels: list[int]) -> dict:
         small["canary_pre_mbps"], small["canary_post_mbps"],
         big["canary_pre_mbps"], big["canary_post_mbps"],
     ]
-    in_run_mins = [
-        x["canary_in_run_min_mbps"] for x in (small, big)
-        if x.get("canary_in_run_min_mbps") is not None
+    pause_mins = [
+        x["canary_pause_min_mbps"] for x in (small, big)
+        if x.get("canary_pause_min_mbps") is not None
     ]
     rec = {
         "ts": round(time.time(), 1), "order": levels,
@@ -174,9 +220,17 @@ def run_pair(args, levels: list[int]) -> dict:
         "pair": pair,
         "eff_search": round(small["sec_med"] / big["sec_med"] / 4, 3),
         "canaries": canaries,
-        "in_run_min": min(in_run_mins) if in_run_mins else None,
+        # gate on PAUSE readings (workload-quiescent host health); in-rep
+        # minima stay in the record but cannot gate — see run_level comment
+        "pause_min": min(pause_mins) if pause_mins else None,
+        "in_rep_min": min(
+            x["canary_in_rep_min_mbps"] for x in (small, big)
+            if x.get("canary_in_rep_min_mbps") is not None
+        ) if any(x.get("canary_in_rep_min_mbps") is not None
+                 for x in (small, big)) else None,
         "valid": min(canaries) >= args.valid
-        and (not in_run_mins or min(in_run_mins) >= args.inrun_floor),
+        and len(pause_mins) == 2
+        and min(pause_mins) >= args.pause_floor,
     }
     with open(args.out, "a") as f:
         f.write(json.dumps(rec) + "\n")
@@ -203,7 +257,13 @@ def main() -> None:
     # just the level.  Same value at both levels keeps the pair fair.
     ap.add_argument("--exec-mem", default="4g")
     ap.add_argument("--valid", type=float, default=900.0)
-    ap.add_argument("--inrun-floor", type=float, default=35.0)
+    ap.add_argument("--pause-sec", type=float, default=20.0,
+                    help="inter-rep quiescent window the child sleeps; the"
+                         " watcher's samples inside it gate host health")
+    ap.add_argument("--pause-floor", type=float, default=600.0,
+                    help="min first-touch MB/s across pause-window samples"
+                         " for a valid pair (workload quiescent, so a"
+                         " healthy host reads near-bracket here)")
     ap.add_argument("--healthy", type=float, default=1300.0,
                     help="--collect start gate: two consecutive first-touch"
                          " readings >= this before an attempt launches")
