@@ -16,6 +16,7 @@ Layout
 - :mod:`seismic_spark.postings`    prune → block → summarize → quantize → encode
 - :mod:`seismic_spark.search`      dynamic-pruning batch top-k search
 - :mod:`seismic_spark.oracle`      single-process numpy reference semantics (no Spark)
+- :mod:`seismic_spark.serving`     RAM-resident serving replica (bit-identical interactive tier)
 - :mod:`seismic_spark.index`       SeismicSparkIndex façade (build/search/save/load)
 - :mod:`seismic_spark.operators`   training-data-pipeline ops (dedup, ANN, text analysis)
 """

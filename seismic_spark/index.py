@@ -437,6 +437,22 @@ class SeismicSparkIndex:
             base, self.knn, self.forward, qvecs, k=k, n_knn=n_knn
         )
 
+    def serving_replica(self, max_bytes: int = 4 << 30):
+        """Hydrate a RAM-resident :class:`~seismic_spark.serving.ServingReplica`
+        from this index — the reference's own serving architecture
+        (inverted_index.rs:38, pylib/mod.rs:59-291: the index lives in one
+        process's memory and every query is answered in-process).
+
+        The replica's `batch_search` is bit-identical to this index's
+        `batch_search` (tests/test_serving.py) at per-query latencies the
+        Spark scheduler cannot reach; Spark remains the build/refresh tier
+        and the bulk-query tier.  Raises ``MemoryError`` when `space_usage()`
+        exceeds ``max_bytes`` — shard the corpus at build time for indexes
+        beyond one host (doc-disjoint top-k merges exactly)."""
+        from seismic_spark.serving import ServingReplica
+
+        return ServingReplica.from_index(self, max_bytes=max_bytes)
+
     def prepare_serving(self) -> "SeismicSparkIndex":
         """Pin the index for repeated-search serving (the in-session analogue
         of the reference holding its whole index in RAM, inverted_index.rs:38).
