@@ -338,6 +338,21 @@ def _q_seismic_topk(spark, sf_dir):
     return _rerank_rounded(res, K)
 
 
+def _q_serving_topk(spark, sf_dir):
+    """RAM-resident serving replica (seismic_spark/serving.py): hydrate the
+    Spark-built index into process memory (the reference's own in-process
+    serving, inverted_index.rs:38) and answer the shared query batch in
+    numpy — results are bit-identical to batch_search, proven here against
+    the same independent DuckDB BM25 oracle the engine entry uses."""
+    idx = _build_index(spark, sf_dir)
+    rep = idx.serving_replica()
+    pdf = rep.batch_search(SEARCH_QUERIES, k=K + 20, query_cut=50, heap_factor=1.0)
+    res = spark.createDataFrame(
+        pdf, "query_id STRING, rank INT, doc_id BIGINT, score DOUBLE"
+    )
+    return _rerank_rounded(res, K)
+
+
 def _q_postings_stats(spark, sf_dir):
     idx = _build_index(
         spark, sf_dir, n_postings=16, pruning="fixed", blocking="geometric",
@@ -582,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_bm25": _q_forward_bm25,
         "bruteforce_topk": _q_bruteforce_topk,
         "seismic_topk": _q_seismic_topk,
+        "serving_topk": _q_serving_topk,
         "postings_stats": _q_postings_stats,
         "doc_lookup": _q_doc_lookup,
         "term_id_compaction": _q_term_id_compaction,
@@ -697,6 +713,7 @@ FROM tfc JOIN dfc USING (term) JOIN v USING (term), stats
 """,
         "bruteforce_topk": _bm25_topk_sql(),
         "seismic_topk": _bm25_topk_sql(),
+        "serving_topk": _bm25_topk_sql(),
         "postings_stats": f"""
 WITH tok AS (SELECT doc_id, unnest(list_distinct({TOK})) AS term FROM documents),
 dfc AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
