@@ -138,6 +138,19 @@ def delta_decode_multi(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     blens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=nb)
     arr = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    return delta_decode_concat(arr, blens)
+
+
+def delta_decode_concat(
+    arr: np.ndarray, blens: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`delta_decode_multi` over an ALREADY-CONCATENATED uint8 array
+    with per-buffer byte lengths — the zero-copy entry point for columnar
+    sources (Arrow binary columns), where the buffers are adjacent in one
+    data buffer and a Python-level join would copy gigabytes."""
+    nb = blens.size
+    if nb == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     if arr.size == 0:
         return np.empty(0, dtype=np.uint64), np.zeros(nb, dtype=np.int64)
     is_last = (arr & 0x80) == 0

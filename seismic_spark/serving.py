@@ -83,6 +83,30 @@ def _flat_slices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) + np.repeat(starts - offsets, lens)
 
 
+def _list_flat(col) -> tuple:
+    """Arrow list column → (flat child Array, lens int64[n]).  `flatten()`
+    adjusts for any slice offset, `list_value_length` gives per-row lengths
+    without touching Python objects."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks()
+    lens = pc.list_value_length(arr).to_numpy().astype(np.int64)
+    return arr.flatten(), lens
+
+
+def _binary_flat(bin_arr) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow Binary/LargeBinary array → (concatenated uint8 view, per-value
+    byte lengths) with no per-value Python objects and no data copy."""
+    import pyarrow as pa
+
+    off_dtype = np.int64 if pa.types.is_large_binary(bin_arr.type) else np.int32
+    voffs = np.frombuffer(bin_arr.buffers()[1], dtype=off_dtype)[
+        bin_arr.offset : bin_arr.offset + len(bin_arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bin_arr.buffers()[2], dtype=np.uint8)
+    return data[voffs[0] : voffs[-1]], np.diff(voffs)
+
+
 class ServingReplica:
     """In-memory twin of a `SeismicSparkIndex` for interactive serving.
 
@@ -135,83 +159,109 @@ class ServingReplica:
             for r in idx.vocab.select("term", "term_id").collect()
         }
 
-        pdf = idx.postings.select(
+        # ---- postings: one Arrow transfer, everything flat ---------------
+        # The whole table lands as Arrow columns (values + offsets); gaps
+        # are varint-decoded in ONE delta_decode_concat pass over every
+        # block of every term, and summaries dequantized in one flat f32
+        # pass — identical arithmetic to the executor scan (_block_ubs),
+        # so hydration speed never trades against float identity.
+        import pyarrow.compute as pc
+
+        tbl = idx.postings.select(
             "term_id", "salt", "blocks", "doc_gaps", "block_max",
             "summary_terms", "summary_codes", "summary_min", "summary_quant",
-        ).toPandas()
-        # group rows by term (a term spans multiple rows when salted), rows
-        # within a term ordered (salt asc) and blocks within a row ascend —
-        # the engine's (salt asc, block asc) total order
-        by_term: dict[int, list] = {}
-        for row in pdf.itertuples(index=False):
-            by_term.setdefault(int(row.term_id), []).append(row)
+        ).toArrow()
+        term_id = tbl.column("term_id").combine_chunks().to_numpy().astype(np.int64)
+        salt = tbl.column("salt").combine_chunks().to_numpy().astype(np.int32)
+
+        blocks_child, nb = _list_flat(tbl.column("blocks"))
+        blocks_flat = blocks_child.to_numpy().astype(np.int32)
+        bmax_child, _ = _list_flat(tbl.column("block_max"))
+        # stored FloatType column — f32→f64 widening is exact, the same
+        # widening the executor scan does
+        bmax_flat = bmax_child.to_numpy().astype(np.float64)
+
+        gaps_child, _ = _list_flat(tbl.column("doc_gaps"))
+        gaps_concat, gaps_lens = _binary_flat(gaps_child)
+        m_flat, m_lens = codec.delta_decode_concat(gaps_concat, gaps_lens)
+        m_flat = m_flat.astype(np.int64)
+        m_lens = m_lens.astype(np.int64)
+
+        st_outer, _ = _list_flat(tbl.column("summary_terms"))
+        s_lens = pc.list_value_length(st_outer).to_numpy().astype(np.int64)
+        s_terms_flat = st_outer.flatten().to_numpy().astype(np.int64)
+        codes_child, _ = _list_flat(tbl.column("summary_codes"))
+        codes_concat, codes_lens = _binary_flat(codes_child)
+        if not np.array_equal(codes_lens, s_lens):  # one code byte per element
+            raise AssertionError("summary codes misaligned with summary terms")
+        mins_flat = _list_flat(tbl.column("summary_min"))[0].to_numpy().astype(
+            np.float32
+        )
+        quants_flat = _list_flat(tbl.column("summary_quant"))[0].to_numpy().astype(
+            np.float32
+        )
+        # identical f32 dequantization to the scan / the oracle
+        s_vals_flat = (
+            np.repeat(mins_flat, s_lens)
+            + codes_concat.astype(np.float32) * np.repeat(quants_flat, s_lens)
+        ).astype(np.float32).astype(np.float64)
+
+        # ---- regroup blocks into (term asc, salt asc, block asc) order ---
+        row_order = np.lexsort((salt, term_id))
+        row_bstarts = np.cumsum(nb) - nb
+        bperm = _flat_slices(row_bstarts[row_order], nb[row_order])
+        salts_g = np.repeat(salt[row_order], nb[row_order])
+        term_g = np.repeat(term_id[row_order], nb[row_order])
+        blocks_g = blocks_flat[bperm]
+        bmax_g = bmax_flat[bperm]
+        s_lens_g = s_lens[bperm]
+        s_starts_all = np.cumsum(s_lens) - s_lens
+        s_elem_perm = _flat_slices(s_starts_all[bperm], s_lens_g)
+        s_terms_g = s_terms_flat[s_elem_perm]
+        s_vals_g = s_vals_flat[s_elem_perm]
+        m_lens_g = m_lens[bperm]
+        m_starts_all = np.cumsum(m_lens) - m_lens
+        m_elem_perm = _flat_slices(m_starts_all[bperm], m_lens_g)
+        m_ids_g = m_flat[m_elem_perm]
+
         postings: dict[int, TermPostings] = {}
-        for tid, rows in by_term.items():
-            rows.sort(key=lambda r: int(r.salt))
-            salts, blocks, bmax = [], [], []
-            s_terms, s_vals, s_lens = [], [], []
-            gap_bufs: list[bytes] = []
-            for r in rows:
-                nb = len(r.blocks)
-                salts.append(np.full(nb, int(r.salt), dtype=np.int32))
-                blocks.append(np.asarray(r.blocks, dtype=np.int32))
-                # stored FloatType column — f32→f64 widening is exact, the
-                # same widening the executor scan does
-                bmax.append(np.asarray(r.block_max, dtype=np.float64))
-                for bi in range(nb):
-                    st = np.asarray(r.summary_terms[bi], dtype=np.int64)
-                    # identical f32 dequantization to the scan / the oracle
-                    sv = codec.dequantize_u8(
-                        np.frombuffer(bytes(r.summary_codes[bi]), dtype=np.uint8),
-                        r.summary_min[bi],
-                        r.summary_quant[bi],
-                    ).astype(np.float64)
-                    s_terms.append(st)
-                    s_vals.append(sv)
-                    s_lens.append(st.size)
-                    gap_bufs.append(bytes(r.doc_gaps[bi]))
-            m_flat, m_lens = codec.delta_decode_multi(gap_bufs)
-            m_lens = m_lens.astype(np.int64)
-            s_lens_arr = np.asarray(s_lens, dtype=np.int64)
-            postings[tid] = TermPostings(
-                salts=np.concatenate(salts),
-                blocks=np.concatenate(blocks),
-                bmax=np.concatenate(bmax),
-                s_terms=(
-                    np.concatenate(s_terms)
-                    if s_terms
-                    else np.empty(0, dtype=np.int64)
-                ),
-                s_vals=(
-                    np.concatenate(s_vals)
-                    if s_vals
-                    else np.empty(0, dtype=np.float64)
-                ),
-                s_starts=np.cumsum(s_lens_arr) - s_lens_arr,
-                s_lens=s_lens_arr,
-                m_ids=m_flat.astype(np.int64),
-                m_starts=np.cumsum(m_lens) - m_lens,
-                m_lens=m_lens,
+        uniq_terms, t_starts = np.unique(term_g, return_index=True)
+        t_bounds = np.concatenate((t_starts, [term_g.size]))
+        s_ebounds = np.concatenate(([0], np.cumsum(s_lens_g)))
+        m_ebounds = np.concatenate(([0], np.cumsum(m_lens_g)))
+        for i, tid in enumerate(uniq_terms.tolist()):
+            a, b = int(t_bounds[i]), int(t_bounds[i + 1])
+            sl = s_lens_g[a:b]
+            ml = m_lens_g[a:b]
+            postings[int(tid)] = TermPostings(
+                salts=salts_g[a:b],
+                blocks=blocks_g[a:b],
+                bmax=bmax_g[a:b],
+                s_terms=s_terms_g[s_ebounds[a]:s_ebounds[b]],
+                s_vals=s_vals_g[s_ebounds[a]:s_ebounds[b]],
+                s_starts=np.cumsum(sl) - sl,
+                s_lens=sl,
+                m_ids=m_ids_g[m_ebounds[a]:m_ebounds[b]],
+                m_starts=np.cumsum(ml) - ml,
+                m_lens=ml,
             )
 
-        fdf = idx.forward.select("doc_id", "terms", "weights").toPandas()
-        doc_ids = fdf["doc_id"].to_numpy(dtype=np.int64)
+        # ---- forward: flat values + offsets, rows sorted by doc_id -------
+        ftbl = idx.forward.select("doc_id", "terms", "weights").toArrow()
+        doc_ids = (
+            ftbl.column("doc_id").combine_chunks().to_numpy().astype(np.int64)
+        )
+        ft_child, flens = _list_flat(ftbl.column("terms"))
+        fw_child, _ = _list_flat(ftbl.column("weights"))
+        ft_flat = ft_child.to_numpy().astype(np.int64)
+        fw_flat = fw_child.to_numpy().astype(np.float64)
         order = np.argsort(doc_ids, kind="stable")
         doc_ids = doc_ids[order]
-        t_list = [np.asarray(a, dtype=np.int64) for a in fdf["terms"].iloc[order]]
-        w_list = [
-            np.asarray(a, dtype=np.float64) for a in fdf["weights"].iloc[order]
-        ]
-        lens = np.fromiter(
-            (a.size for a in t_list), dtype=np.int64, count=len(t_list)
-        )
-        fwd_indptr = np.concatenate(([0], np.cumsum(lens)))
-        fwd_terms = (
-            np.concatenate(t_list) if t_list else np.empty(0, dtype=np.int64)
-        )
-        fwd_weights = (
-            np.concatenate(w_list) if w_list else np.empty(0, dtype=np.float64)
-        )
+        fstarts = np.cumsum(flens) - flens
+        fperm = _flat_slices(fstarts[order], flens[order])
+        fwd_terms = ft_flat[fperm]
+        fwd_weights = fw_flat[fperm]
+        fwd_indptr = np.concatenate(([0], np.cumsum(flens[order])))
         return cls(
             vocab, postings, doc_ids, fwd_indptr, fwd_terms, fwd_weights,
             idx.config,
