@@ -219,6 +219,11 @@ class SeismicSparkIndex:
         """
         from pyspark.sql.types import ArrayType, StringType
 
+        if missing_tokens not in ("warn", "error", "ignore"):
+            # validate unconditionally (build() does too) — a typo must not
+            # silently behave like the default on the branches that never
+            # consult the value (int terms / no supplied vocab)
+            raise ValueError(f"unknown missing_tokens {missing_tokens!r}")
         cfg = config or IndexConfig()
         docmap = None
         if isinstance(vectors.schema["doc_id"].dataType, StringType):
@@ -265,8 +270,6 @@ class SeismicSparkIndex:
                     vectors.select("doc_id", F.col("terms").alias("tokens"))
                 ).persist()
             elif missing_tokens != "ignore":
-                if missing_tokens not in ("warn", "error"):
-                    raise ValueError(f"unknown missing_tokens {missing_tokens!r}")
                 _check_missing_tokens(
                     exploded.join(
                         vocab.select(F.col("term").alias("_t")), "_t", "left_anti"

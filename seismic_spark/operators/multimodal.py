@@ -9,9 +9,12 @@ is what a real libjpeg/ffmpeg-backed UDF would use.
 
 The swap point is real, not asserted: `decode_binary_column(decoder=...)`
 takes any `bytes -> (w, h, mean)` callable, and an import-guarded Pillow
-decoder (`pil_decode_image`) is selected automatically when PIL is
-installed (tests/test_operators.py exercises both the injected-decoder seam
-and, where PIL exists, the real path).
+decoder (`pil_decode_image`) is available for explicit opt-in where PIL is
+installed (tests exercise both the injected-decoder seam and, where PIL
+exists, the real path).  The DEFAULT is always the deterministic fake: the
+DuckDB oracle contract pins the fake's arithmetic, and auto-selecting by
+driver-side importability would silently change results per-environment
+(and crash on non-image payloads / driver-has-PIL-executors-don't skew).
 """
 
 from __future__ import annotations
@@ -77,15 +80,17 @@ def decode_binary_column(
     is inherently per-payload); everything around it is vectorized.
 
     ``decoder``: any ``bytes -> (width, height, mean_byte)`` callable —
-    this IS the swap point.  Default: :func:`pil_decode_image` when Pillow
-    is importable, else the deterministic :func:`fake_decode_image` (this
-    container has no image libs).  The callable is serialized into the UDF
-    closure, so it must be importable/picklable on executors.
+    this IS the swap point.  Default: the deterministic
+    :func:`fake_decode_image`, ALWAYS — pass ``decoder=pil_decode_image``
+    explicitly to opt into the real path.  (Auto-selecting by driver-side
+    PIL importability would make the pinned oracle contract
+    environment-dependent, crash on non-image payloads, and probe the
+    driver for a capability the executors must have.)  The callable is
+    serialized into the UDF closure, so it must be importable/picklable on
+    executors.
     """
     if decoder is None:
-        decoder = (
-            pil_decode_image if real_decoder_available() else fake_decode_image
-        )
+        decoder = fake_decode_image
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -465,6 +465,28 @@ _SCAN_PRUNE_MAX_IDS = int(os.environ.get("SEISMIC_SCAN_PRUNE_MAX_IDS", "100000")
 _DEFAULT_CACHE_REGISTRY: list[DataFrame] = []
 
 
+def merge_sorted_terms(t, w) -> QVec:
+    """THE pinned duplicate-term merge — single source of truth for the
+    fast-path / in-plan / serving-replica bitwise-identity contract.
+
+    (term asc, weight asc) lexsort, then one reduceat per duplicate group:
+    the summation order is a pure function of the (term, weight) multiset,
+    so the merged float is reproducible regardless of input order.  Every
+    caller that merges duplicate query terms MUST route through here
+    (_merge_dup_qvecs, _cut_qvecs, serving.ServingReplica._resolve) — a
+    divergent copy silently breaks the documented bitwise guarantees.
+    """
+    t = np.asarray(t, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    order = np.lexsort((w, t))
+    t, w = t[order], w[order]
+    if t.size > 1 and np.any(np.diff(t) == 0):
+        starts = np.flatnonzero(np.concatenate(([True], np.diff(t) != 0)))
+        w = np.add.reduceat(w, starts)
+        t = t[starts]
+    return t, w
+
+
 def _merge_dup_qvecs(qvecs: dict[str, QVec]) -> dict[str, QVec]:
     """Deterministically merge duplicate term ids within each query vector.
 
@@ -478,18 +500,7 @@ def _merge_dup_qvecs(qvecs: dict[str, QVec]) -> dict[str, QVec]:
     reduceat's association is numpy's but the inputs are a pure function of
     the multiset, so the merged float is reproducible.
     """
-    out: dict[str, QVec] = {}
-    for qid, (t, w) in qvecs.items():
-        t = np.asarray(t, dtype=np.int64)
-        w = np.asarray(w, dtype=np.float64)
-        order = np.lexsort((w, t))  # term asc, weight asc within ties
-        t, w = t[order], w[order]
-        if t.size > 1 and np.any(np.diff(t) == 0):
-            starts = np.flatnonzero(np.concatenate(([True], np.diff(t) != 0)))
-            w = np.add.reduceat(w, starts)
-            t = t[starts]
-        out[qid] = (t, w)
-    return out
+    return {qid: merge_sorted_terms(t, w) for qid, (t, w) in qvecs.items()}
 
 
 def _cut_qvecs(qvecs: dict[str, QVec], query_cut: int) -> list[tuple]:
@@ -504,13 +515,7 @@ def _cut_qvecs(qvecs: dict[str, QVec], query_cut: int) -> list[tuple]:
         if t.size == 0:
             continue
         if np.unique(t).size != t.size:
-            # same pinned merge order as _merge_dup_qvecs (term asc, weight
-            # asc) so direct callers get the identical merged floats
-            order = np.lexsort((w, t))
-            t, w = t[order], w[order]
-            starts = np.flatnonzero(np.concatenate(([True], np.diff(t) != 0)))
-            w = np.add.reduceat(w, starts)
-            t = t[starts]
+            t, w = merge_sorted_terms(t, w)
         order = np.lexsort((t, -w))[:query_cut]
         rows.extend(
             (qid, int(t[i]), float(w[i])) for i in order.tolist()
@@ -866,9 +871,12 @@ def batch_search(
         )
         if res is not None:
             return res
-        # block-table row cap hit — fall through to the in-plan derivation
-        # (the fast path's persisted ubs sits in cache_registry and is
-        # retired below like any previous cache)
+        # Block-table row cap hit — fall through to the in-plan derivation.
+        # Retire the fast path's abandoned persisted ubs NOW: the in-plan
+        # tail only retires when broadcast_queries/two_phase is set, so a
+        # caller pinning both off would otherwise leak the cache until a
+        # later fast-path call happened to retire it.
+        retire_caches(cache_registry)
     qdf = qdf.filter(F.size("q_terms") > 0)
     if small:
         # Dict batches routed in-plan still know their term union on the

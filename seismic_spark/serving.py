@@ -42,6 +42,7 @@ import numpy as np
 import pandas as pd
 
 from seismic_spark import codec
+from seismic_spark import search as srch
 
 __all__ = ["ServingReplica", "TermPostings"]
 
@@ -272,7 +273,7 @@ class ServingReplica:
     def _resolve(self, terms: list[str], weights: list[float]):
         """Token→id resolution with the engine's semantics: unknown tokens
         silently dropped (P3), duplicates merged by weight sum over a pinned
-        (term asc, weight asc) element order (search._merge_dup_qvecs), ids
+        (term asc, weight asc) element order (search.merge_sorted_terms), ids
         sorted ascending."""
         pairs = [
             (self.vocab[t], float(w))
@@ -281,12 +282,11 @@ class ServingReplica:
         ]
         if not pairs:
             return None
-        t = np.asarray([p[0] for p in pairs], dtype=np.int64)
-        w = np.asarray([p[1] for p in pairs], dtype=np.float64)
-        order = np.lexsort((w, t))
-        t, w = t[order], w[order]
-        uniq, starts = np.unique(t, return_index=True)
-        return uniq, np.add.reduceat(w, starts)
+        # single source of truth for the pinned merge — see
+        # search.merge_sorted_terms' bitwise-identity contract
+        return srch.merge_sorted_terms(
+            [p[0] for p in pairs], [p[1] for p in pairs]
+        )
 
     def _score_docs(
         self, qt: np.ndarray, qw: np.ndarray, docs: np.ndarray
@@ -331,7 +331,15 @@ class ServingReplica:
         out_rank: list[np.ndarray] = []
         out_doc: list[np.ndarray] = []
         out_score: list[np.ndarray] = []
+        # The engine keys resolution on query_id (search.resolve_queries
+        # `by_q`), so a batch repeating a qid is ONE merged query there —
+        # concatenate repeated-qid tuples before resolving to match.
+        merged: dict[str, tuple[list[str], list[float]]] = {}
         for qid, terms, weights in queries:
+            acc = merged.setdefault(qid, ([], []))
+            acc[0].extend(terms)
+            acc[1].extend(weights)
+        for qid, (terms, weights) in merged.items():
             resolved = self._resolve(terms, weights)
             if resolved is None:
                 continue

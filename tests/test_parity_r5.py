@@ -353,7 +353,7 @@ def test_decode_binary_column_pil_path(spark):
         [(0, bytearray(buf.getvalue()))], "doc_id BIGINT, payload BINARY"
     )
     assert mm.real_decoder_available()
-    r = mm.decode_binary_column(df).collect()[0]
+    r = mm.decode_binary_column(df, decoder=mm.pil_decode_image).collect()[0]
     assert (r["width"], r["height"]) == (7, 3)
     assert r["mean_byte"] == pytest.approx(100.0)
 

@@ -128,3 +128,27 @@ def test_replica_scores_are_true_dot_products(spark, corpus):
         dts, dws = fwd[doc]
         expected = sum(qmap.get(t, 0.0) * w for t, w in zip(dts, dws))
         assert np.isclose(r.score, expected, rtol=1e-9)
+
+
+def test_replica_repeated_query_id_merges_like_engine(spark, corpus):
+    """A batch repeating a query_id is ONE merged query in the engine
+    (search.resolve_queries keys on qid) — the replica must merge the
+    repeated tuples too, not answer each independently."""
+    idx = SeismicSparkIndex.build(
+        spark, corpus, IndexConfig(n_postings=25, summary_energy=0.6)
+    )
+    rep = idx.serving_replica()
+    base = synth_queries(600, n_queries=1, seed=7)[0]
+    _, terms, weights = base
+    half = len(terms) // 2 or 1
+    # same qid split across two tuples with disjoint token halves
+    queries = [
+        ("qrep", terms[:half], weights[:half]),
+        ("qrep", terms[half:], weights[half:]),
+    ]
+    engine = _rows(idx.batch_search(queries, k=5, query_cut=10, heap_factor=0.9))
+    got = _rows(rep.batch_search(queries, k=5, query_cut=10, heap_factor=0.9))
+    assert got == engine
+    # exactly one rank sequence for the merged query, no duplicate ranks
+    ranks = [r[1] for r in got if r[0] == "qrep"]
+    assert ranks == sorted(set(ranks))
