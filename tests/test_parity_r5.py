@@ -17,8 +17,9 @@ ADVICE.md round-4 findings):
 - LV/u32 component ids: read_seismic_bin(high_ids="bigint") +
   compact_term_ids remap (pylib/mod.rs:1159-1166, index_traits.rs:14);
 - get(id) vector accessor (pylib/mod.rs:59-291);
-- multimodal decode seam takes an injected decoder (and auto-selects the
-  import-guarded PIL path where Pillow exists).
+- multimodal decode seam takes an injected decoder; the import-guarded
+  PIL path is explicit opt-in (the default is ALWAYS the deterministic
+  fake the oracle contract pins).
 """
 
 import json

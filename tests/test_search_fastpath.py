@@ -86,7 +86,7 @@ def test_fast_path_k_exceeds_matches(spark, idx_est):
 def test_fast_path_unknown_and_empty_queries(spark, idx_est):
     # unknown tokens resolve to nothing → those queries drop out entirely
     queries = [
-        ("q_known", ["w3", "w17"], [1.0, 0.5]),
+        ("q_known", ["term_3", "term_17"], [1.0, 0.5]),
         ("q_ghost", ["zzz_not_in_vocab"], [1.0]),
     ]
     qvecs = srch.resolve_queries(spark, queries, idx_est.vocab)
@@ -94,7 +94,10 @@ def test_fast_path_unknown_and_empty_queries(spark, idx_est):
         spark, idx_est.postings, idx_est.forward, qvecs,
         k=5, query_cut=5, heap_factor=0.9, driver_theta=True,
     ).collect()
-    assert {r.query_id for r in res} <= {"q_known"}
+    # the known query MUST answer (synth_pages tokens are term_{j}; an
+    # earlier revision used w3/w17 which never resolved, making this check
+    # vacuous) and the ghost query must drop out without erroring
+    assert {r.query_id for r in res} == {"q_known"}
     # fully-empty resolved batch → empty frame with the search schema
     empty = srch.batch_search(
         spark, idx_est.postings, idx_est.forward, {},
@@ -155,3 +158,33 @@ def test_index_wrapper_auto_fast_path_matches_inplan(spark, idx_est):
         ).collect()
     )
     assert via_idx == inplan
+
+
+def test_row_cap_fallthrough_retires_fast_path_cache(
+    spark, idx_exact, monkeypatch
+):
+    """When the block-table row cap aborts the fast path, its persisted ubs
+    must be retired immediately — even for callers that pin
+    broadcast_queries/two_phase off (the in-plan tail's conditional
+    retirement never runs for them)."""
+    monkeypatch.setattr(srch, "_DRIVER_THETA_MAX_ROWS", 0)  # force abort
+    queries = synth_queries(600, n_queries=2, seed=5)
+    qvecs = srch.resolve_queries(spark, queries, idx_exact.vocab)
+    registry = []
+    res = srch.batch_search(
+        spark, idx_exact.postings, idx_exact.forward, qvecs,
+        k=5, query_cut=50, heap_factor=1.0, driver_theta=True,
+        broadcast_queries=False, two_phase=False, cache_registry=registry,
+    ).collect()
+    assert res  # fell through to in-plan and still answered
+    assert registry == []  # abandoned fast-path ubs retired, nothing leaked
+    # and the fall-through answer matches a plain in-plan run
+    plan = srch.batch_search(
+        spark, idx_exact.postings, idx_exact.forward, qvecs,
+        k=5, query_cut=50, heap_factor=1.0, driver_theta=False,
+        broadcast_queries=False, two_phase=False,
+    ).collect()
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.doc_id, r.score) for r in rows
+    )
+    assert key(res) == key(plan)
