@@ -65,7 +65,7 @@ reps = @REPS@
 spark = (SparkSession.builder.appName("search-scaling-%d" % cores_max)
     .master("@MASTER@")
     .config("spark.cores.max", str(cores_max))
-    .config("spark.executor.cores", "2")
+    .config("spark.executor.cores", "@EXECCORES@")
     .config("spark.executor.memory", "@EXECMEM@")
     .config("spark.executorEnv.PYTHONPATH", "@REPO@")
     .config("spark.locality.wait", "1s")
@@ -139,6 +139,7 @@ def run_level(cores: int, args) -> dict:
         .replace("@CKPT@", args.ckpt)
         .replace("@PAUSE@", str(args.pause_sec))
         .replace("@EXECMEM@", args.exec_mem)
+        .replace("@EXECCORES@", str(args.exec_cores))
     )
     pre = measure()
     samples: list[tuple[float, float, float]] = []  # (t_start, t_end, mbps)
@@ -227,6 +228,7 @@ def run_pair(args, levels: list[int]) -> dict:
     rec = {
         "ts": round(time.time(), 1), "order": levels,
         "docs": args.docs, "vocab": args.vocab, "batch": args.batch,
+        "exec_cores": args.exec_cores, "exec_mem": args.exec_mem,
         "pair": pair,
         "eff_search": round(small["sec_med"] / big["sec_med"] / 4, 3),
         "canaries": canaries,
@@ -266,6 +268,13 @@ def main() -> None:
     # vs the 4-core leg's 2×heap, so oversized heaps bias the RATIO, not
     # just the level.  Same value at both levels keeps the pair fair.
     ap.add_argument("--exec-mem", default="4g")
+    # The 4->16-core campaign's 19 archived attempts measured a ~210 QPS
+    # single-box ceiling at this design point: a 4-core leg ALONE reaches
+    # 190-213 QPS (attempts 17-19), so the big leg has no headroom to
+    # demonstrate engine scaling — the ratio measures the HOST.  --exec-cores 1
+    # with --n 1 runs the rule's literal "N and 4N executors" with BOTH legs
+    # under the ceiling, where the ratio measures the ENGINE.
+    ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--valid", type=float, default=900.0)
     ap.add_argument("--pause-sec", type=float, default=20.0,
                     help="inter-rep quiescent window the child sleeps; the"
