@@ -86,7 +86,7 @@ docs = spark.read.parquet(input_path)
 
 t0 = time.time()
 idx = CheckpointedBuild(spark, "@CKPT@", resume=True, lineage_detail="light").build(
-    docs, IndexConfig(n_postings=1000, pruning="fixed",
+    docs, IndexConfig(n_postings=@NPOSTINGS@, pruning="fixed",
                       summary_energy=0.5, quant_ceil=True)
 )
 resume_sec = time.time() - t0
@@ -137,6 +137,7 @@ def run_level(cores: int, args) -> dict:
         .replace("@BATCH@", str(args.batch))
         .replace("@REPS@", str(args.reps))
         .replace("@CKPT@", args.ckpt)
+        .replace("@NPOSTINGS@", str(args.n_postings))
         .replace("@PAUSE@", str(args.pause_sec))
         .replace("@EXECMEM@", args.exec_mem)
         .replace("@EXECCORES@", str(args.exec_cores))
@@ -229,6 +230,7 @@ def run_pair(args, levels: list[int]) -> dict:
         "ts": round(time.time(), 1), "order": levels,
         "docs": args.docs, "vocab": args.vocab, "batch": args.batch,
         "exec_cores": args.exec_cores, "exec_mem": args.exec_mem,
+        "n_postings": args.n_postings,
         "pair": pair,
         "eff_search": round(small["sec_med"] / big["sec_med"] / 4, 3),
         "canaries": canaries,
@@ -275,6 +277,14 @@ def main() -> None:
     # with --n 1 runs the rule's literal "N and 4N executors" with BOTH legs
     # under the ceiling, where the ratio measures the ENGINE.
     ap.add_argument("--exec-cores", type=int, default=2)
+    # The 1->4 single-core pairs showed the NEXT wall: a lone uncontended
+    # core runs 71-81 QPS, so 4x of it (284-324) is already above the ~210
+    # QPS box ceiling — the big leg lands on the wall and the ratio caps at
+    # 0.65-0.74 by arithmetic.  n_postings=3000 (the reference best
+    # config's posting mass) triples the per-query parallel work so 4x the
+    # single-executor throughput fits UNDER the ceiling and the ratio can
+    # finally measure the engine.
+    ap.add_argument("--n-postings", type=int, default=1000)
     ap.add_argument("--valid", type=float, default=900.0)
     ap.add_argument("--pause-sec", type=float, default=20.0,
                     help="inter-rep quiescent window the child sleeps; the"

@@ -59,7 +59,7 @@ docs = spark.read.parquet(input_path)
 
 t0 = time.time()
 CheckpointedBuild(spark, "@CKPT@", resume=True, lineage_detail="light").build(
-    docs, IndexConfig(n_postings=1000, pruning="fixed",
+    docs, IndexConfig(n_postings=@NPOSTINGS@, pruning="fixed",
                       summary_energy=0.5, quant_ceil=True)
 )
 print("PREBUILD_DONE %.1fs" % (time.time() - t0), flush=True)
@@ -72,6 +72,11 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--vocab", type=int, default=100_000)
     ap.add_argument("--ckpt", default="/dev/shm/scaling-ckpt-16")
+    ap.add_argument("--n-postings", type=int, default=1000,
+                    help="per-list pruning cap; 3000 = the reference's"
+                         " published best config's posting mass (×3 the"
+                         " campaign default) — the heavy-workload lever for"
+                         " under-ceiling scaling pairs")
     args = ap.parse_args()
 
     ensure_cluster(workers=8)
@@ -81,6 +86,7 @@ def main() -> None:
         .replace("@NDOCS@", str(args.docs))
         .replace("@VOCAB@", str(args.vocab))
         .replace("@CKPT@", args.ckpt)
+        .replace("@NPOSTINGS@", str(args.n_postings))
     )
     env = dict(os.environ, PYTHONPATH=REPO, **DAEMON_ENV)
     t0 = time.time()
