@@ -454,8 +454,17 @@ _FASTPATH_DEFER_GAPS = (
 # scan as an IN predicate (result-neutral pruning).  Above this many ids the
 # literal list itself bloats Catalyst optimization / Parquet predicate
 # conversion more than the scan pruning saves, so skip it (the cut-terms
-# join already restricts the scan output).
-_SCAN_PRUNE_MAX_IDS = int(os.environ.get("SEISMIC_SCAN_PRUNE_MAX_IDS", "100000"))
+# join already restricts the scan output).  The cost is NOT marginal: at the
+# batch-10000 design point (~30k ids, 1M docs) the literal IN cost an
+# event-log-measured 14.5 s driver-only planning gap plus serialized-plan
+# bloat in every task — removing it took the 4-core leg from ~46 s to ~27 s
+# and the 1-core leg from ~134 s to ~96 s, and even at batch 1000 (~4.4k
+# ids) an interleaved A/B read 13.5-16.1 s with vs 11.2-12.1 s without
+# (BENCH/BASELINE.md round-5 serial-fraction section).  At-scale row-group
+# pruning belongs to the term-bucket partitioned snapshot path
+# (SeismicSparkIndex._postings_for: <= n_buckets literals), so the generic
+# id-literal list only stays where it is provably cheap.
+_SCAN_PRUNE_MAX_IDS = int(os.environ.get("SEISMIC_SCAN_PRUNE_MAX_IDS", "2048"))
 
 # Fallback ubs-cache lifecycle for direct batch_search callers that pass no
 # registry: previous caches are retired here on the next call, so a
