@@ -393,3 +393,40 @@ def test_with_extracted_text_injected_extractor(spark):
     }
     assert injected["u0"] == "<P>HELLO <B>WORLD</B></P>"
     assert injected["u2"] == ""
+
+
+# ---------------------------------------------------- scan-prune IN cap --
+
+
+def test_scan_prune_in_cap(spark, small_idx, monkeypatch):
+    """The in-plan scan-prune IN engages only under _SCAN_PRUNE_MAX_IDS.
+
+    Round-5 event-log measurement (BENCH/BASELINE.md serial-fraction
+    section): a ~30k-literal IN cost a 14.5 s driver-only Catalyst gap per
+    batch plus serialized-plan bloat in every task, and lost even at ~4.4k
+    ids — so the default cap is 2048 and the predicate must vanish (with
+    identical results) above it.
+    """
+    queries = synth_queries(400, n_queries=6, seed=11)
+    qvecs = srch.resolve_queries(spark, queries, small_idx.vocab)
+
+    def plan_of(**kw):
+        df = srch.batch_search(
+            spark, small_idx.postings, small_idx.forward, qvecs,
+            k=5, query_cut=5, heap_factor=0.8, driver_theta=False, **kw,
+        )
+        return df, df._jdf.queryExecution().optimizedPlan().toString()
+
+    df_in, plan_in = plan_of()
+    # Catalyst rewrites >10-literal In to InSet (OptimizeIn)
+    assert "INSET" in plan_in or " IN (" in plan_in
+
+    monkeypatch.setattr(srch, "_SCAN_PRUNE_MAX_IDS", 0)
+    df_no, plan_no = plan_of()
+    assert "INSET" not in plan_no and " IN (" not in plan_no
+
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.doc_id, r.score) for r in rows
+    )
+    # result-neutral: the cut-terms join already restricts the scan
+    assert key(df_in.collect()) == key(df_no.collect())
