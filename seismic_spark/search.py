@@ -593,8 +593,12 @@ def _fetch_gaps(postings: DataFrame, keys: pd.DataFrame) -> DataFrame:
         keys[["query_id", "term_id", "salt", "block"]],
         "query_id STRING, term_id INT, salt INT, block INT",
     )
+    if len(term_ids) <= _SCAN_PRUNE_MAX_IDS:
+        # same literal-list cap as everywhere else (see _SCAN_PRUNE_MAX_IDS);
+        # the broadcast kdf join below keeps the result identical without it
+        postings = postings.filter(F.col("term_id").isin(term_ids))
     exploded = (
-        postings.filter(F.col("term_id").isin(term_ids))
+        postings
         .select(
             "term_id", "salt",
             F.explode(F.arrays_zip("blocks", "doc_gaps")).alias("z"),
@@ -681,8 +685,14 @@ def _driver_theta_search(
     # locally; the real payoff is bucket-partitioned snapshots at scale,
     # where it stacks with _postings_for's file-level bucket pruning.
     term_ids = sorted({int(r[1]) for r in cut_rows})
+    if len(term_ids) <= _SCAN_PRUNE_MAX_IDS:
+        # same cap as the in-plan path: above it the literal list costs
+        # Catalyst more than the scan pruning saves (measured, see
+        # _SCAN_PRUNE_MAX_IDS) — the auto-gate keeps auto-engaged batches
+        # under it, but an explicit driver_theta=True caller may not be
+        postings = postings.filter(F.col("term_id").isin(term_ids))
     matched = (
-        postings.filter(F.col("term_id").isin(term_ids))
+        postings
         .join(F.broadcast(cterms), "term_id")
         .join(F.broadcast(qdf), "query_id")
     )
