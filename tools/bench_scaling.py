@@ -55,8 +55,8 @@ vocab_size = @VOCAB@
 spark = (SparkSession.builder.appName("scaling-%d" % cores_max)
     .master("@MASTER@")
     .config("spark.cores.max", str(cores_max))
-    .config("spark.executor.cores", "2")
-    .config("spark.executor.memory", "7g")
+    .config("spark.executor.cores", "@EXECCORES@")
+    .config("spark.executor.memory", "@EXECMEM@")
     .config("spark.executorEnv.PYTHONPATH", "@REPO@")
     # single-machine pseudo-cluster: brief locality wait (the 3s default
     # stalls every wave; 0s causes cache-miss recompute storms)
@@ -147,7 +147,8 @@ def stop_cluster() -> None:
     subprocess.run([f"{SPARK_HOME}/sbin/stop-master.sh"], env=env)
 
 
-def run_level(cores_max: int, n_docs: int, vocab: int) -> dict:
+def run_level(cores_max: int, n_docs: int, vocab: int,
+              exec_cores: int = 2, exec_mem: str = "7g") -> dict:
     """Run one parallelism level, bracketed by host-memory canaries.
 
     This VM suffers host-level page-supply throttling (tools/canary.py):
@@ -175,7 +176,7 @@ def run_level(cores_max: int, n_docs: int, vocab: int) -> dict:
     t = threading.Thread(target=watch, daemon=True)
     t.start()
     try:
-        res = _run_level_inner(cores_max, n_docs, vocab)
+        res = _run_level_inner(cores_max, n_docs, vocab, exec_cores, exec_mem)
     finally:
         stop.set()
         t.join(timeout=5)
@@ -187,13 +188,16 @@ def run_level(cores_max: int, n_docs: int, vocab: int) -> dict:
     return res
 
 
-def _run_level_inner(cores_max: int, n_docs: int, vocab: int) -> dict:
+def _run_level_inner(cores_max: int, n_docs: int, vocab: int,
+                     exec_cores: int = 2, exec_mem: str = "7g") -> dict:
     code = (
         CHILD.replace("@REPO@", REPO)
         .replace("@CORES@", str(cores_max))
         .replace("@NDOCS@", str(n_docs))
         .replace("@VOCAB@", str(vocab))
         .replace("@MASTER@", MASTER)
+        .replace("@EXECCORES@", str(exec_cores))
+        .replace("@EXECMEM@", exec_mem)
     )
     env = os.environ | {"PYTHONPATH": REPO}
     out = subprocess.run(
@@ -251,7 +255,9 @@ def collect(args) -> None:
             stop_cluster()
             time.sleep(3)
             ensure_cluster(workers=8)
-            pair = {str(c): run_level(c, args.docs, args.vocab) for c in order}
+            pair = {str(c): run_level(c, args.docs, args.vocab,
+                                       args.exec_cores, args.exec_mem)
+                    for c in order}
             cN, c4N = pair[str(args.n)], pair[str(args.n * 4)]
             canaries = [
                 cN["canary_pre_mbps"], cN["canary_post_mbps"],
@@ -264,7 +270,9 @@ def collect(args) -> None:
             ]
             rec = {
                 "ts": round(time.time(), 1), "order": order,
-                "docs": args.docs, "vocab": args.vocab, "pair": pair,
+                "docs": args.docs, "vocab": args.vocab,
+                "exec_cores": args.exec_cores, "exec_mem": args.exec_mem,
+                "pair": pair,
                 "eff_build": round(cN["build_sec"] / c4N["build_sec"] / 4, 3),
                 "eff_search": round(cN["search_sec"] / c4N["search_sec"] / 4, 3),
                 "canaries": canaries,
@@ -295,6 +303,13 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=200000)
     ap.add_argument("--vocab", type=int, default=50000)
     ap.add_argument("--n", type=int, default=4, help="small size in CORES (2 executors)")
+    # Under-ceiling pairs (round 5): --n 1 --exec-cores 1 runs the rule's
+    # literal "N and 4N executors" as 1 -> 4 single-core executors, the
+    # configuration where both legs sit under the host's page-supply
+    # throttle threshold and the ratio measures the engine (see
+    # tools/bench_search_scaling.py and BENCH/BASELINE.md round-5 section).
+    ap.add_argument("--exec-cores", type=int, default=2)
+    ap.add_argument("--exec-mem", default="7g")
     ap.add_argument("--reps", type=int, default=1,
                     help="ABBA repetitions per level (medians reported)")
     ap.add_argument("--write-md", action="store_true")
@@ -325,7 +340,8 @@ def main() -> None:
         order = [args.n, args.n * 4]
     runs: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
     for cores in order:
-        runs[cores].append(run_level(cores, args.docs, args.vocab))
+        runs[cores].append(run_level(cores, args.docs, args.vocab,
+                                      args.exec_cores, args.exec_mem))
 
     def med(level: int, key: str) -> float:
         vals = sorted(r[key] for r in runs[level])
