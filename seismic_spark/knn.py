@@ -48,10 +48,13 @@ def build_knn(index, nknn: int = 10, batch_size: int | None = None,
         k=nknn + 1, query_cut=query_cut, heap_factor=heap_factor,
         two_phase=two_phase, broadcast_queries=False,
     )
+    # group on the STRING query_id so the aggregation reuses the top-k
+    # window's hash(query_id) partitioning (no extra Exchange — guide §2.4);
+    # the bigint cast is injective here (ids were produced by a bigint→string
+    # cast) and moves after the agg, so groups and results are unchanged.
     return (
         res.filter(F.col("doc_id") != F.col("query_id").cast("bigint"))
-        .withColumn("_q", F.col("query_id").cast("bigint"))
-        .groupBy("_q")
+        .groupBy("query_id")
         .agg(
             F.slice(
                 F.transform(
@@ -62,7 +65,7 @@ def build_knn(index, nknn: int = 10, batch_size: int | None = None,
                 nknn,
             ).alias("neighbors")
         )
-        .select(F.col("_q").alias("doc_id"), "neighbors")
+        .select(F.col("query_id").cast("bigint").alias("doc_id"), "neighbors")
     )
 
 

@@ -92,17 +92,17 @@ def resolve_queries(
         .collect()
     )
     out: dict[str, QVec] = {}
-    by_q: dict[str, dict[int, float]] = {}
+    by_q: dict[str, list[tuple[int, float]]] = {}
     for r in resolved:
+        by_q.setdefault(r["query_id"], []).append((r["term_id"], r["qw"]))
+    for qid, pairs in by_q.items():
         # repeated tokens (or distinct tokens resolving to one term id) merge
-        # by summing weights — dot-product-identical, see _query_keys
-        acc = by_q.setdefault(r["query_id"], {})
-        acc[r["term_id"]] = acc.get(r["term_id"], 0.0) + r["qw"]
-    for qid, acc in by_q.items():
-        pairs = sorted(acc.items())
-        t = np.asarray([p[0] for p in pairs], dtype=np.int64)
-        w = np.asarray([p[1] for p in pairs], dtype=np.float64)
-        out[qid] = (t, w)
+        # by summing weights — routed through THE pinned merge so the float
+        # is independent of .collect() row order (merge_sorted_terms contract)
+        out[qid] = merge_sorted_terms(
+            np.asarray([p[0] for p in pairs], dtype=np.int64),
+            np.asarray([p[1] for p in pairs], dtype=np.float64),
+        )
     return out
 
 
@@ -127,29 +127,69 @@ def _as_queries_df(spark: SparkSession, queries) -> tuple[DataFrame, bool]:
 
 def cut_terms(queries_df: DataFrame, query_cut: int) -> DataFrame:
     """Top-``query_cut`` terms per query by (weight desc, term_id asc) —
-    inverted_index.rs:187-190's k_largest_by, as a window over the exploded
-    query arrays.  Returns (query_id, term_id, qw)."""
-    ex = (
-        queries_df.select(
-            "query_id", F.explode(F.arrays_zip("q_terms", "q_weights")).alias("z")
-        )
-        .select(
-            "query_id",
-            F.col("z.q_terms").alias("term_id"),
-            F.col("z.q_weights").alias("qw"),
-        )
-        # duplicate term ids within a query merge by summing weights
-        # (matches _query_keys; shares the window's query_id shuffle)
-        .groupBy("query_id", "term_id")
-        .agg(F.sum("qw").alias("qw"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("qw").desc(), F.col("term_id").asc()
-    )
-    return (
-        ex.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= query_cut)
-        .drop("_r")
+    inverted_index.rs:187-190's k_largest_by.  Returns (query_id, term_id, qw).
+
+    r6: a NARROW per-row selection (mapInArrow over the query arrays) —
+    the cut is a pure function of one row, so the old explode → groupBy →
+    window formulation paid two exchanges plus a window sort for nothing
+    (guide §2.4); worse, AQE coalesced its tiny shuffle to ONE partition at
+    bench scale, serializing everything downstream of it in the same stage
+    (event-log measured: a 5.9 s single-task stage in the κ-NN chain).
+    Zero-copy Arrow flattening; duplicate term ids within a row merge
+    through the pinned (term asc, weight asc) reduceat order
+    (merge_sorted_terms' contract), value-identical to the old groupBy-sum
+    for the duplicate-free rows every engine path produces.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def gen(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in it:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            qt = rb.column(rb.schema.get_field_index("q_terms"))
+            qw = rb.column(rb.schema.get_field_index("q_weights"))
+            lens = pc.list_value_length(qt).to_numpy().astype(np.int64)
+            t_flat = qt.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            w_flat = qw.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            row_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+            key = row_rep * _KEY_SHIFT + t_flat
+            # merge duplicate (row, term): (term asc, weight asc) reduceat —
+            # THE pinned merge order (see merge_sorted_terms)
+            order = np.lexsort((w_flat, key))
+            k_s, w_s = key[order], w_flat[order]
+            if k_s.size > 1 and np.any(np.diff(k_s) == 0):
+                starts = np.flatnonzero(
+                    np.concatenate(([True], np.diff(k_s) != 0))
+                )
+                w_s = np.add.reduceat(w_s, starts)
+                k_s = k_s[starts]
+            row_m = k_s // _KEY_SHIFT
+            t_m = k_s - row_m * _KEY_SHIFT
+            # top-query_cut per row by (weight desc, term asc)
+            sel = np.lexsort((t_m, -w_s, row_m))
+            rr = row_m[sel]
+            rstarts = np.flatnonzero(
+                np.concatenate(([True], rr[1:] != rr[:-1]))
+            )
+            seg_lens = np.diff(np.concatenate((rstarts, [rr.size])))
+            rank = np.arange(rr.size, dtype=np.int64) - np.repeat(
+                rstarts, seg_lens
+            )
+            keep = sel[rank < query_cut]
+            idx = pa.array(row_m[keep])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.take(rb.column(rb.schema.get_field_index("query_id")), idx),
+                    pa.array(t_m[keep].astype(np.int32)),
+                    pa.array(w_s[keep]),
+                ],
+                ["query_id", "term_id", "qw"],
+            )
+
+    return queries_df.select("query_id", "q_terms", "q_weights").mapInArrow(
+        gen, "query_id STRING, term_id INT, qw DOUBLE"
     )
 
 
@@ -181,6 +221,17 @@ def _query_keys(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
     row_rep = np.repeat(np.arange(len(pdf), dtype=np.int64), qlens)
     qkey = row_rep * _KEY_SHIFT + qt_all
+    qkey, qw_all = _repair_qkey(qkey, qw_all)
+    return qkey, qw_all, qlens
+
+
+def _repair_qkey(
+    qkey: np.ndarray, qw_all: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared tail of :func:`_query_keys`: in-place-order repair of an
+    unsorted flattened query-key array + duplicate merge (stable argsort,
+    reduceat in original-order-within-group) — extracted so the Arrow-flat
+    scoring path reuses the exact same float behavior."""
     if qkey.size > 1:
         d = np.diff(qkey)
         if not np.all(d > 0):
@@ -193,7 +244,21 @@ def _query_keys(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                 )
                 qw_all = np.add.reduceat(qw_all, starts)
                 qkey = qkey[starts]
-    return qkey, qw_all, qlens
+    return qkey, qw_all
+
+
+def _binary_flat(a) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (flat uint8 data in element order, per-element byte length)
+    view of a pyarrow Binary array — a binary column is one contiguous data
+    buffer plus offsets (guide §4.2), so re-slicing replaces a per-cell
+    ``np.frombuffer`` + concatenate."""
+    n = len(a)
+    bufs = a.buffers()
+    if n == 0 or bufs[1] is None or bufs[2] is None:
+        return np.empty(0, dtype=np.uint8), np.zeros(n, dtype=np.int64)
+    off = np.frombuffer(bufs[1], dtype=np.int32)[a.offset : a.offset + n + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]]
+    return data, np.diff(off).astype(np.int64)
 
 
 def _gather_qw(
@@ -235,33 +300,46 @@ def exact_score(
         .select("query_id", id_col, "terms", "weights", "q_terms", "q_weights")
     )
 
-    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def score_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # r6: Arrow-native flat buffers (guide §4.2) — the candidate-pair
+        # volume is rows × full vectors (κ-NN: 2.2×10^7 pairs at sf0.1), and
+        # the old pandas path paid a per-row np.asarray on four nested
+        # columns; flatten()/list_value_length are O(1) buffer views.  The
+        # scoring floats are the SAME flat f64 arrays in the same order, so
+        # every score is bitwise unchanged.
+        for rb in it:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            qkey, qw_all, _ = _query_keys(pdf)
-            t_list = [np.asarray(a, dtype=np.int64) for a in pdf["terms"]]
-            lens = np.fromiter(
-                (a.size for a in t_list), dtype=np.int64, count=len(t_list)
-            )
-            t_all = _concat(t_list, np.int64)
-            w_all = _concat(
-                [np.asarray(a, dtype=np.float64) for a in pdf["weights"]], np.float64
-            )
-            row_rep = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            qlens = pc.list_value_length(cols["q_terms"]).to_numpy().astype(np.int64)
+            qt_all = cols["q_terms"].flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            qw_all = cols["q_weights"].flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            qrow = np.repeat(np.arange(n, dtype=np.int64), qlens)
+            qkey = qrow * _KEY_SHIFT + qt_all
+            qkey, qw_all = _repair_qkey(qkey, qw_all)
+
+            lens = pc.list_value_length(cols["terms"]).to_numpy().astype(np.int64)
+            t_all = cols["terms"].flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            w_all = cols["weights"].flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            row_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
             qw_elem = _gather_qw(qkey, qw_all, row_rep, t_all)
             contrib = qw_elem * w_all
             starts = np.cumsum(lens) - lens
             scores = codec.segment_sums(contrib, starts, lens)
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "doc_id": pdf[id_col].to_numpy(),
-                    "score": scores,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["query_id"],
+                    pc.cast(cols[id_col], pa.int64()),
+                    pa.array(scores),
+                ],
+                ["query_id", "doc_id", "score"],
             )
 
-    return joined.mapInPandas(
+    return joined.mapInArrow(
         score_batches, "query_id STRING, doc_id BIGINT, score DOUBLE"
     )
 
@@ -300,54 +378,50 @@ def _block_ubs(postings_matched: DataFrame, with_gaps: bool = True) -> DataFrame
         "query_id STRING, term_id INT, salt INT, block INT, ub DOUBLE, "
         "lb DOUBLE" + (", gaps BINARY" if with_gaps else "")
     )
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if pdf.empty:
+    def scan(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # r6: Arrow-native flat buffers (guide §4.2) — the old pandas path
+        # paid a per-CELL np.asarray over doubly-nested summary columns
+        # (summary lists per block per row); flatten()/list_value_length are
+        # O(1) buffer views and the gap blobs pass through as one untouched
+        # Arrow binary column.  All float math is unchanged dtype-for-dtype,
+        # so every ub/lb is bitwise identical to the pandas formulation.
+        for rb in it:
+            nrow = rb.num_rows
+            if nrow == 0:
                 continue
-            nrow = len(pdf)
-            qkey, qw_all, _ = _query_keys(pdf)
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+            qlens = pc.list_value_length(cols["q_terms"]).to_numpy().astype(np.int64)
+            qt_all = cols["q_terms"].flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            qw_all = cols["q_weights"].flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            qrow = np.repeat(np.arange(nrow, dtype=np.int64), qlens)
+            qkey, qw_all = _repair_qkey(qrow * _KEY_SHIFT + qt_all, qw_all)
 
             # ---- block level -------------------------------------------
-            nb = np.fromiter(
-                (len(b) for b in pdf["blocks"]), dtype=np.int64, count=nrow
-            )
+            nb = pc.list_value_length(cols["blocks"]).to_numpy().astype(np.int64)
             row_of_block = np.repeat(np.arange(nrow, dtype=np.int64), nb)
-            blocks_all = _concat(
-                [np.asarray(b, dtype=np.int32) for b in pdf["blocks"]], np.int32
+            blocks_flat = cols["blocks"].flatten()
+            bmax_all = (
+                cols["block_max"].flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
             )
-            bmax_all = _concat(
-                [np.asarray(b, dtype=np.float64) for b in pdf["block_max"]],
-                np.float64,
-            )
-            qw_row = pdf["qw"].to_numpy(dtype=np.float64)
+            qw_row = cols["qw"].to_numpy(zero_copy_only=False)
             lb = qw_row[row_of_block] * bmax_all
 
             # ---- summary-element level ----------------------------------
-            st_list = [
-                np.asarray(b, dtype=np.int64)
-                for row in pdf["summary_terms"]
-                for b in row
-            ]
-            slen = np.fromiter(
-                (a.size for a in st_list), dtype=np.int64, count=len(st_list)
-            )
-            st_all = _concat(st_list, np.int64)
-            codes_all = _concat(
-                [
-                    np.frombuffer(b, dtype=np.uint8)
-                    for row in pdf["summary_codes"]
-                    for b in row
-                ],
-                np.uint8,
-            )
-            mins_all = _concat(
-                [np.asarray(b, dtype=np.float32) for b in pdf["summary_min"]],
-                np.float32,
-            )
-            quants_all = _concat(
-                [np.asarray(b, dtype=np.float32) for b in pdf["summary_quant"]],
-                np.float32,
+            st_inner = cols["summary_terms"].flatten()  # list<int> per block
+            slen = pc.list_value_length(st_inner).to_numpy().astype(np.int64)
+            st_all = st_inner.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            codes_bin = cols["summary_codes"].flatten()  # binary per block
+            codes_all, _ = _binary_flat(codes_bin)
+            mins_all = (
+                cols["summary_min"].flatten().to_numpy(zero_copy_only=False)
+            )  # float32, same values the pandas path saw
+            quants_all = (
+                cols["summary_quant"].flatten().to_numpy(zero_copy_only=False)
             )
             # dequantize (identical f32 arithmetic to codec.dequantize_u8)
             vals = (
@@ -360,29 +434,133 @@ def _block_ubs(postings_matched: DataFrame, with_gaps: bool = True) -> DataFrame
             elem_starts = np.cumsum(slen) - slen
             ub = codec.segment_sums(contrib, elem_starts, slen)
 
-            out = {
-                "query_id": np.repeat(pdf["query_id"].to_numpy(), nb),
-                "term_id": np.repeat(
-                    pdf["term_id"].to_numpy(dtype=np.int32), nb
-                ),
-                "salt": np.repeat(pdf["salt"].to_numpy(dtype=np.int32), nb),
-                "block": blocks_all,
-                "ub": ub,
-                "lb": lb,
-            }
+            idx = pa.array(row_of_block)
+            arrays = [
+                pc.take(cols["query_id"], idx),
+                pc.take(cols["term_id"], idx),
+                pc.take(cols["salt"], idx),
+                blocks_flat,
+                pa.array(ub),
+                pa.array(lb),
+            ]
+            names = ["query_id", "term_id", "salt", "block", "ub", "lb"]
             if with_gaps:
-                out["gaps"] = [
-                    bytes(b) for row in pdf["doc_gaps"] for b in row
-                ]
-            yield pd.DataFrame(out)
+                arrays.append(cols["doc_gaps"].flatten())
+                names.append("gaps")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
-    cols = postings_matched.select(
+    cols_df = postings_matched.select(
         "query_id", "term_id", "salt", "qw", "q_terms", "q_weights",
         "blocks", "block_max",
         *(("doc_gaps",) if with_gaps else ()),
         "summary_terms", "summary_codes", "summary_min", "summary_quant",
     )
-    return cols.mapInPandas(scan, out_schema)
+    return cols_df.mapInArrow(scan, out_schema)
+
+
+def _fused_candidates(ubs: DataFrame, k: int, heap_factor: float) -> DataFrame:
+    """θ derivation + skip filter + gap decode + cross-list dedup in ONE
+    streamed operator — the two_phase=False tail of the in-plan path.
+
+    Replaces the window-based `_theta_survivors` → `_decode_docs` →
+    `.distinct()` chain (3 exchanges, two of them sorting the gap-blob-laden
+    ubs rows) with a single repartition("query_id") — guide §2.4 (remove
+    shuffles outright) + §2.3 (don't move heavy payloads through exchanges
+    they don't need): the gap blobs cross exactly one exchange, and the θ
+    aggregation/filter/decode/dedup all happen in one vectorized pass over
+    each query's co-located block rows.
+
+    Value-parity with the windowed derivation (and the driver fast path):
+    θ_q = max over matched terms of the k-th largest per-(query, term) lb —
+    the k-th largest VALUE is tie-order independent, so np.lexsort + segment
+    ranks select exactly the lb the `wt` window's row_number()==k row held;
+    the skip predicate ``ub >= heap_factor × θ`` is the same IEEE-f64
+    comparison, so the surviving block set — and every downstream score — is
+    bitwise identical (test_parity_r4/r5 pin this against the fast path).
+
+    Queries with NO term reaching k blocks keep all their blocks (the
+    windowed path's `theta IS NULL` arm).  Dedup is per query group, which
+    equals the old global `.distinct()` because one query's rows are fully
+    co-located.
+    """
+    hf = float(heap_factor)
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        qids = pdf["query_id"].to_numpy()
+        g_starts = np.flatnonzero(np.concatenate(([True], qids[1:] != qids[:-1])))
+        g_lens = np.diff(np.concatenate((g_starts, [len(pdf)])))
+        q_of = np.repeat(np.arange(g_starts.size, dtype=np.int64), g_lens)
+        term = pdf["term_id"].to_numpy(dtype=np.int64)
+        ub = pdf["ub"].to_numpy(dtype=np.float64)
+        lb = pdf["lb"].to_numpy(dtype=np.float64)
+
+        # per-(query, term) k-th largest lb, maxed per query (θ phase 0)
+        order = np.lexsort((-lb, term, q_of))
+        qo, to, lbo = q_of[order], term[order], lb[order]
+        seg = np.concatenate(
+            ([True], (qo[1:] != qo[:-1]) | (to[1:] != to[:-1]))
+        )
+        seg_starts = np.flatnonzero(seg)
+        seg_lens = np.diff(np.concatenate((seg_starts, [lbo.size])))
+        rank = np.arange(lbo.size, dtype=np.int64) - np.repeat(
+            seg_starts, seg_lens
+        )
+        kth = rank == k - 1
+        theta = np.full(g_starts.size, -np.inf)
+        kq, kv = qo[kth], lbo[kth]
+        if kq.size:
+            gs = np.flatnonzero(np.concatenate(([True], kq[1:] != kq[:-1])))
+            theta[kq[gs]] = np.maximum.reduceat(kv, gs)
+
+        keep = np.ones(len(pdf), dtype=bool)
+        hasrow = theta[q_of] > -np.inf
+        keep[hasrow] = ub[hasrow] >= hf * theta[q_of][hasrow]
+
+        gaps_col = pdf["gaps"].to_numpy()
+        kept_idx = np.flatnonzero(keep)
+        if kept_idx.size == 0:
+            return None
+        ids, counts = codec.delta_decode_multi(
+            [bytes(gaps_col[i]) for i in kept_idx]
+        )
+        qrep = np.repeat(q_of[kept_idx], counts)
+        ids = ids.astype(np.int64)
+        order2 = np.lexsort((ids, qrep))
+        qs_, ds_ = qrep[order2], ids[order2]
+        mask = np.concatenate(
+            ([True], (qs_[1:] != qs_[:-1]) | (ds_[1:] != ds_[:-1]))
+        )
+        return pd.DataFrame(
+            {"query_id": qids[g_starts][qs_[mask]], "doc_id": ds_[mask]}
+        )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in it:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            qids = pdf["query_id"].to_numpy()
+            cut = int(np.flatnonzero(qids == qids[-1])[0])
+            complete, rest = pdf.iloc[:cut], pdf.iloc[cut:]
+            carry = rest.reset_index(drop=True) if len(rest) else None
+            if len(complete):
+                out = process(complete)
+                if out is not None:
+                    yield out
+        if carry is not None and len(carry):
+            out = process(carry)
+            if out is not None:
+                yield out
+
+    parted = (
+        ubs.select("query_id", "term_id", "ub", "lb", "gaps")
+        .repartition("query_id")
+        .sortWithinPartitions("query_id")
+    )
+    return parted.mapInPandas(gen, "query_id STRING, doc_id BIGINT")
 
 
 def _decode_docs(block_rows: DataFrame) -> DataFrame:
@@ -597,6 +775,17 @@ def _fetch_gaps(postings: DataFrame, keys: pd.DataFrame) -> DataFrame:
         # same literal-list cap as everywhere else (see _SCAN_PRUNE_MAX_IDS);
         # the broadcast kdf join below keeps the result identical without it
         postings = postings.filter(F.col("term_id").isin(term_ids))
+    else:
+        # above the cap, prune via a broadcast semi-join instead of dropping
+        # pruning entirely: unlike the post-explode kdf join, this term_id
+        # join sits BELOW the Generate node, so non-matching posting rows
+        # are discarded before their gap blobs are exploded to block rows
+        # (r5 ADVICE item; result-identical — the kdf join is a further
+        # subset of these term ids).
+        tdf = postings.sparkSession.createDataFrame(
+            [(int(t),) for t in term_ids], "term_id INT"
+        )
+        postings = postings.join(F.broadcast(tdf), "term_id")
     exploded = (
         postings
         .select(
@@ -913,6 +1102,19 @@ def batch_search(
     qvec_j = F.broadcast(qdf) if broadcast_queries else qdf
     matched = matched.join(qvec_j, "query_id")
     ubs = _block_ubs(matched)
+    if not two_phase:
+        # Fused tail (r6): θ + skip filter + decode + dedup in one streamed
+        # operator over query-co-located block rows — one exchange instead
+        # of the wt/wq windows + distinct (guide §2.4), no persist needed
+        # (single consumer), gap blobs cross exactly one shuffle.  Result
+        # bitwise-identical (see _fused_candidates).
+        if cache_registry is not None:
+            retire_caches(cache_registry)
+        cands = _fused_candidates(ubs, k, heap_factor)
+        scored = exact_score(
+            cands, forward, qdf, broadcast_queries=broadcast_queries
+        )
+        return topk(scored, k)
     if broadcast_queries or two_phase:
         # small query batches: cache the block scan — θ is an aggregate of
         # ubs, and without the cache Catalyst executes the whole
