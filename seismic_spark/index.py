@@ -131,7 +131,9 @@ class SeismicSparkIndex:
         supplied_vocab = vocab is not None
         if vocab is None:
             vocab = voc.build_vocab(toks, id_col).persist()
-        n_terms = vocab.count()
+        # n_terms only parameterizes GlobalThreshold's budget — defer the
+        # count() action (a full vocab pass) unless that pruning mode runs
+        n_terms = vocab.count() if cfg.pruning == "global" else 0
         tf_df = textprep.term_frequencies(toks, id_col)
         if supplied_vocab and missing_tokens != "ignore":
             _check_missing_tokens(
@@ -150,7 +152,9 @@ class SeismicSparkIndex:
         dtw = dtw.persist()
         forward = fwd.build_forward(dtw, id_col).persist()
         if with_postings:
-            postings = pst.build_postings(dtw, forward, cfg, n_terms, id_col)
+            postings = pst.build_postings(
+                dtw, forward, cfg, n_terms, id_col, n_docs=n_docs
+            )
             if cache:
                 postings = postings.persist()
         else:  # vocab/forward-only (enough for brute-force oracle runs)
@@ -295,11 +299,11 @@ class SeismicSparkIndex:
             dtw = exploded.select(
                 "doc_id", F.col("_t").cast("int").alias("term_id"), "weight"
             )
-        n_terms = vocab.count()
-        n_docs = vectors.count()
-        avgdl = (
-            vectors.agg(F.avg(F.size("terms"))).collect()[0][0] or 0.0
-        )
+        n_terms = vocab.count() if cfg.pruning == "global" else 0
+        row = vectors.agg(
+            F.count(F.lit(1)).alias("n"), F.avg(F.size("terms")).alias("a")
+        ).collect()[0]
+        n_docs, avgdl = int(row["n"]), row["a"] or 0.0
         if cfg.value_type not in ("f64", None):
             scale_max = None
             if cfg.value_type in ("fixedu8", "fixedu16"):
@@ -308,7 +312,7 @@ class SeismicSparkIndex:
         dtw = dtw.persist()
         forward = fwd.build_forward(dtw).persist()
         if with_postings:
-            postings = pst.build_postings(dtw, forward, cfg, n_terms)
+            postings = pst.build_postings(dtw, forward, cfg, n_terms, n_docs=n_docs)
             if cache:
                 postings = postings.persist()
         else:
@@ -604,9 +608,11 @@ class SeismicSparkIndex:
             scale_max = float(dtw.agg(F.max("weight")).collect()[0][0] or 0.0)
         dtw = textprep.value_round_trip_col(dtw, value_type, scale_max).persist()
         cfg = replace(self.config, value_type=value_type)
-        n_terms = self.vocab.count()
+        n_terms = self.vocab.count() if cfg.pruning == "global" else 0
         forward = fwd_mod.build_forward(dtw).persist()
-        postings = pst.build_postings(dtw, forward, cfg, n_terms)
+        postings = pst.build_postings(
+            dtw, forward, cfg, n_terms, n_docs=self.n_docs
+        )
         if cache:
             postings = postings.persist()
         return SeismicSparkIndex(

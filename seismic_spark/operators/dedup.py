@@ -65,14 +65,32 @@ def minhash_signatures(
     """
     sh = shingles(docs, shingle_n).withColumn("_h", md5_int(F.col("shingle")))
     params = hash_params(n_hashes, seed)
-    cols = [
-        F.struct(F.lit(i).alias("sig_idx"), affine_hash(F.col("_h"), a, b).alias("hv"))
-        for i, (a, b) in enumerate(params)
-    ]
-    stacked = sh.select("doc_id", F.explode(F.array(*cols)).alias("s")).select(
-        "doc_id", F.col("s.sig_idx").alias("sig_idx"), F.col("s.hv").alias("hv")
+    # r6: all n mins in ONE hash-aggregate keyed on doc_id alone, then a
+    # post-agg unpivot — value-identical to the old explode(n)->groupBy
+    # (doc_id, sig_idx) min, but the n× row materialization before the
+    # exchange is gone (guide §2.3 aggregate-before-shuffle) and downstream
+    # per-doc consumers (LSH banding) reuse the hash(doc_id) partitioning
+    # with no further exchange (guide §2.4).
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(affine_hash(F.col("_h"), a, b)).alias(f"_m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
     )
-    return stacked.groupBy("doc_id", "sig_idx").agg(F.min("hv").alias("minhash"))
+    return per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sig_idx"),
+                        F.col(f"_m{i}").alias("minhash"),
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.sig_idx").alias("sig_idx"), F.col("s.minhash").alias("minhash"))
 
 
 def lsh_candidate_pairs(

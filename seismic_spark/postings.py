@@ -100,7 +100,8 @@ class IndexConfig:
 
 
 def topk_per_term(
-    dtw: DataFrame, n: int, salt_buckets: int = 8, id_col: str = "doc_id"
+    dtw: DataFrame, n: int, salt_buckets: int = 8, id_col: str = "doc_id",
+    max_group: int | None = None,
 ) -> DataFrame:
     """Per-term top-n by (weight desc, doc_id asc) — FixedSize pruning (I1).
 
@@ -108,9 +109,19 @@ def topk_per_term(
     per term.  The first window bounds any single partition's input to
     ~df/salt_buckets rows, taming head-term skew; the second sees at most
     n × salt_buckets rows per term.
+
+    The first level is purely a skew/performance device — a sub-group top-n
+    keeps every candidate for the global top-n, so skipping it NEVER changes
+    the output.  ``max_group`` (the corpus doc count on the build path) makes
+    that skip scale-adaptive (r6, guide §2.4): when ``n × salt_buckets ≥
+    max_group`` the second window's per-term input is ≤ max_group rows with
+    or without level 1, so level 1 can only add a full extra exchange+sort
+    of every entry — measured as one of two entry-sized shuffles in the
+    sf0.1 builds, where n_postings × 8 always exceeds the corpus.
     """
     order = [F.col("weight").desc(), F.col(id_col).asc()]
-    if salt_buckets > 1:
+    level1_useful = max_group is None or n * salt_buckets < max_group
+    if salt_buckets > 1 and level1_useful:
         w1 = Window.partitionBy("term_id", F.col(id_col) % salt_buckets).orderBy(*order)
         dtw = dtw.withColumn("_r1", F.row_number().over(w1)).filter(
             F.col("_r1") <= n
@@ -194,6 +205,7 @@ def global_threshold_pruning(
     cfg: IndexConfig,
     id_col: str = "doc_id",
     precomputed_cut: float | None = None,
+    max_group: int | None = None,
 ) -> DataFrame:
     """GlobalThreshold pruning (I2, inverted_index.rs:354-389): keep the
     globally largest ~`n_terms × n_postings` entries, cap each list at
@@ -209,7 +221,7 @@ def global_threshold_pruning(
     )
     kept = dtw if cut == float("-inf") else dtw.filter(F.col("weight") >= cut)
     cap = int(cfg.n_postings * cfg.max_fraction)
-    return topk_per_term(kept, cap, cfg.salt_buckets, id_col)
+    return topk_per_term(kept, cap, cfg.salt_buckets, id_col, max_group)
 
 
 def prune(
@@ -218,12 +230,19 @@ def prune(
     cfg: IndexConfig,
     id_col: str = "doc_id",
     global_cut: float | None = None,
+    max_group: int | None = None,
 ) -> DataFrame:
-    """Dispatch on cfg.pruning → (doc_id, term_id, weight, rank)."""
+    """Dispatch on cfg.pruning → (doc_id, term_id, weight, rank).
+
+    ``max_group``: upper bound on any term's list length (the corpus doc
+    count) — lets the two-level top-k drop its redundant first level when it
+    provably cannot filter (see :func:`topk_per_term`)."""
     if cfg.pruning == "global":
-        return global_threshold_pruning(dtw, n_terms, cfg, id_col, global_cut)
+        return global_threshold_pruning(
+            dtw, n_terms, cfg, id_col, global_cut, max_group
+        )
     n = cfg.n_postings if cfg.pruning == "fixed" else 2**31 - 1
-    return topk_per_term(dtw, n, cfg.salt_buckets, id_col)
+    return topk_per_term(dtw, n, cfg.salt_buckets, id_col, max_group)
 
 
 # ------------------------------------------------------------ blocking ------
@@ -679,6 +698,7 @@ def build_postings(
     n_terms: int,
     id_col: str = "doc_id",
     global_cut: float | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(doc_id, term_id, weight) + forward → postings table (schema above).
 
@@ -690,7 +710,7 @@ def build_postings(
     list size is bounded by pruning (≤ n_postings × max_fraction entries)
     and `blocks_per_row` salting, so no task sees an unbounded head term.
     """
-    pruned = prune(dtw, n_terms, cfg, id_col, global_cut)
+    pruned = prune(dtw, n_terms, cfg, id_col, global_cut, n_docs)
     entries = pruned.withColumn("block", block_of_rank_col(F.col("rank"), cfg))
     entries = entries.withColumn(
         "salt", (F.col("block") / cfg.blocks_per_row).cast("int")
