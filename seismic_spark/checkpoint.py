@@ -268,6 +268,11 @@ class CheckpointedBuild:
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump({"n_docs": n_docs, "avgdl": avgdl, "config": asdict(cfg)}, f)
         self._flush()
-        return SeismicSparkIndex(
+        idx = SeismicSparkIndex(
             self.spark, vocab, forward, postings, n_docs, avgdl, cfg
         )
+        # the stage snapshots ARE plain parquet scans of these dirs —
+        # replica hydration can read them directly with Arrow (r6)
+        idx.storage_paths["forward"] = self._dir("forward")
+        idx.storage_paths["postings"] = self._dir("postings")
+        return idx

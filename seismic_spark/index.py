@@ -81,6 +81,17 @@ class SeismicSparkIndex:
         # search on this index retires this index's previous ubs cache only,
         # so interleaved searches on two indexes never thrash each other
         self._ubs_caches: list[DataFrame] = []
+        # space_usage() result cache: the index tables are immutable, so the
+        # byte accounting is too — load() pre-populates it from meta.json so
+        # replica hydration skips the full-table pre-scan (r6, VERDICT #5)
+        self._usage_cache: dict[str, int] | None = None
+        # parquet locations of UNTRANSFORMED table snapshots (set by load()
+        # and CheckpointedBuild): replica hydration reads these directly
+        # with multithreaded Arrow instead of collecting through the Spark
+        # driver socket (r6, VERDICT #5 — "hydrate from the snapshot files").
+        # Only populated for tables whose DataFrame is a plain scan of the
+        # files (never for a packed forward, which load() unpacks in-plan).
+        self.storage_paths: dict[str, str] = {}
 
     # ------------------------------------------------------------- build ----
 
@@ -648,7 +659,14 @@ class SeismicSparkIndex:
         """Q12 analogue: bytes per index component, mirroring the reference's
         full breakdown (inverted_index.rs:103-149, quantized_summary.rs:163-273):
         forward index, packed postings (doc-id gaps + f16 weights), block
-        offsets, and quantized summaries (ids + codes + affine params)."""
+        offsets, and quantized summaries (ids + codes + affine params).
+
+        The result is cached on the instance (the tables are immutable):
+        repeated budget checks — e.g. replica hydration after an explicit
+        call, or a loaded snapshot whose save() persisted the breakdown —
+        cost zero Spark jobs after the first."""
+        if self._usage_cache is not None:
+            return dict(self._usage_cache)
 
         def _blob_bytes(col: str):
             return F.sum(
@@ -686,6 +704,7 @@ class SeismicSparkIndex:
         out["total"] = (
             out["forward"] + out["postings_packed"] + out["offsets"] + out["summaries"]
         )
+        self._usage_cache = dict(out)
         return out
 
     # -------------------------------------------------------- save / load ---
@@ -723,6 +742,10 @@ class SeismicSparkIndex:
 
         p = self.postings
         meta = {"n_docs": self.n_docs, "avgdl": self.avgdl, "config": asdict(self.config)}
+        # persist the byte accounting so load()→serving_replica() skips the
+        # full-table space pre-scan (r6: hydration was paying an extra pass
+        # over postings+forward just to check the budget)
+        meta["space_usage"] = self.space_usage()
         if partitions_by_term_hash:
             meta["term_buckets"] = int(partitions_by_term_hash)
             p = p.withColumn(
@@ -879,4 +902,13 @@ class SeismicSparkIndex:
             idx.docmap = spark.read.parquet(os.path.join(path, "docmap"))
         if meta.get("has_content"):
             idx.content = spark.read.parquet(os.path.join(path, "content"))
+        if "space_usage" in meta:
+            # snapshot carries its own byte accounting — replica hydration's
+            # budget gate then costs zero Spark jobs (r6, VERDICT #5)
+            idx._usage_cache = {
+                k: int(v) for k, v in meta["space_usage"].items()
+            }
+        idx.storage_paths["postings"] = os.path.join(path, "postings")
+        if "packed_scale" not in meta:  # packed forward is unpacked in-plan
+            idx.storage_paths["forward"] = os.path.join(path, "forward")
         return idx
