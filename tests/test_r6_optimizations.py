@@ -1,0 +1,154 @@
+"""Round-6 optimization closures — each restructure pinned against the
+formulation it replaced (results must be identical, not just close):
+
+- fused θ/decode/dedup tail (search._fused_candidates) vs the windowed
+  _theta_survivors → _decode_docs → distinct chain;
+- narrow per-row cut_terms vs the explode → groupBy → window formulation;
+- topk_per_term's adaptive first-level skip (output-invariant by
+  construction — asserted on data where the condition flips it off);
+- single-aggregate minhash vs the stacked explode formulation.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from seismic_spark import search as srch
+from seismic_spark.index import IndexConfig, SeismicSparkIndex
+from seismic_spark.sources.pages import synth_pages
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    pages = synth_pages(spark, 300, vocab_size=500, seed=7)
+    corpus = pages.select("url", "text").withColumn(
+        "doc_id", F.abs(F.xxhash64("url"))
+    )
+    return SeismicSparkIndex.build(
+        spark, corpus,
+        IndexConfig(n_postings=50, summary_energy=0.8, blocking="geometric"),
+    )
+
+
+def _rows(df):
+    return sorted((r.query_id, r.rank, r.doc_id, r.score) for r in df.collect())
+
+
+def test_fused_tail_matches_windowed_tail(spark, idx):
+    """DataFrame-path batch_search (fused tail) == the r5 windowed chain,
+    exact floats, on a self-search batch with hf < 1 (knife-edge skips)."""
+    qdf = idx.forward.select(
+        F.col("doc_id").cast("string").alias("query_id"),
+        F.col("terms").alias("q_terms"),
+        F.col("weights").alias("q_weights"),
+    ).filter(F.size("q_terms") > 0).limit(80)
+    k, qc, hf = 5, 6, 0.7
+    fused = srch.batch_search(
+        spark, idx.postings, idx.forward, qdf,
+        k=k, query_cut=qc, heap_factor=hf, broadcast_queries=False,
+    )
+    cterms = srch.cut_terms(qdf, qc)
+    matched = idx.postings.join(cterms, "term_id").join(qdf, "query_id")
+    ubs = srch._block_ubs(matched)
+    survivors = srch._theta_survivors(
+        ubs, idx.forward, qdf, k, hf, False, False
+    )
+    cands = srch._decode_docs(survivors)
+    scored = srch.exact_score(cands, idx.forward, qdf, broadcast_queries=False)
+    windowed = srch.topk(scored, k)
+    assert _rows(fused) == _rows(windowed)
+    assert fused.count() > 0
+
+
+def test_cut_terms_matches_windowed_formulation(spark, idx):
+    """Narrow mapInArrow cut == explode→groupBy→window on duplicate-free
+    queries (exact floats), and pinned-merge semantics on duplicates."""
+    qdf = idx.forward.select(
+        F.col("doc_id").cast("string").alias("query_id"),
+        F.col("terms").alias("q_terms"),
+        F.col("weights").alias("q_weights"),
+    ).filter(F.size("q_terms") > 2).limit(40)
+    qc = 4
+    new = srch.cut_terms(qdf, qc)
+
+    ex = (
+        qdf.select(
+            "query_id", F.explode(F.arrays_zip("q_terms", "q_weights")).alias("z")
+        )
+        .select(
+            "query_id",
+            F.col("z.q_terms").alias("term_id"),
+            F.col("z.q_weights").alias("qw"),
+        )
+        .groupBy("query_id", "term_id")
+        .agg(F.sum("qw").alias("qw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qw").desc(), F.col("term_id").asc()
+    )
+    old = (
+        ex.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= qc)
+        .drop("_r")
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.term_id, r.qw) for r in df.collect()
+    )
+    assert key(new) == key(old)
+
+    # duplicate term in one row: merged through the pinned order
+    dup = spark.createDataFrame(
+        [("qd", [7, 7, 7, 9], [0.3, 0.1, 0.2, 1.0])], srch.QUERIES_SCHEMA
+    )
+    got = {
+        (r.term_id): r.qw for r in srch.cut_terms(dup, 5).collect()
+    }
+    t, wgt = srch.merge_sorted_terms(
+        np.array([7, 7, 7, 9]), np.array([0.3, 0.1, 0.2, 1.0])
+    )
+    assert got[7] == wgt[0] and got[9] == wgt[1]
+
+
+def test_topk_per_term_level1_skip_is_output_invariant(spark, idx):
+    """max_group high enough to disable level 1 → identical pruning output."""
+    from seismic_spark import postings as pst
+
+    dtw = idx.forward.select(
+        "doc_id", F.explode(F.arrays_zip("terms", "weights")).alias("z")
+    ).select(
+        "doc_id",
+        F.col("z.terms").alias("term_id"),
+        F.col("z.weights").alias("weight"),
+    )
+    both = pst.topk_per_term(dtw, 10, salt_buckets=8)  # level 1 active
+    skip = pst.topk_per_term(dtw, 10, salt_buckets=8, max_group=1)  # skipped
+    key = lambda df: sorted(
+        (r.doc_id, r.term_id, r.weight, r.rank) for r in df.collect()
+    )
+    assert key(both) == key(skip)
+
+
+def test_minhash_matches_stacked_formulation(spark):
+    from seismic_spark.functions.hashing import affine_hash, hash_params, md5_int
+    from seismic_spark.operators.dedup import minhash_signatures, shingles
+
+    pages = synth_pages(spark, 60, vocab_size=300, seed=11)
+    docs = pages.select(
+        F.abs(F.xxhash64("url")).alias("doc_id"), "text"
+    )
+    new = minhash_signatures(docs, n_hashes=8)
+
+    sh = shingles(docs, 3).withColumn("_h", md5_int(F.col("shingle")))
+    cols = [
+        F.struct(F.lit(i).alias("sig_idx"), affine_hash(F.col("_h"), a, b).alias("hv"))
+        for i, (a, b) in enumerate(hash_params(8, 42))
+    ]
+    stacked = sh.select("doc_id", F.explode(F.array(*cols)).alias("s")).select(
+        "doc_id", F.col("s.sig_idx").alias("sig_idx"), F.col("s.hv").alias("hv")
+    )
+    old = stacked.groupBy("doc_id", "sig_idx").agg(F.min("hv").alias("minhash"))
+    key = lambda df: sorted(
+        (r.doc_id, r.sig_idx, r.minhash) for r in df.collect()
+    )
+    assert key(new) == key(old)
