@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 
 from seismic_spark import search as srch
 
+# Broadcast-CSR rescore gate for graph construction: the self-search tail
+# collects forward + query vectors (two bounded driver collects of
+# ≈ n_docs·avgdl·16 B each) and broadcasts them so candidate pairs are
+# scored WITHOUT a pair×vector join — the pair rows (the corpus × ~corpus
+# candidate set) never carry vectors through an exchange or the Arrow
+# boundary (guide §8).  Above the cap the un-collected join path runs
+# unchanged, so the gate is scale-safe: est. bytes = 2 sides × n·avgdl·16.
+_KNN_BCAST_MAX_BYTES = int(
+    os.environ.get("SEISMIC_KNN_BCAST_MAX_BYTES", str(512 << 20))
+)
+
 
 def build_knn(index, nknn: int = 10, batch_size: int | None = None,
               query_cut: int = 10, heap_factor: float = 0.7,
@@ -43,10 +54,17 @@ def build_knn(index, nknn: int = 10, batch_size: int | None = None,
         F.col("terms").alias("q_terms"),
         F.col("weights").alias("q_weights"),
     ).filter(F.size("q_terms") > 0)
+    est_vec_bytes = 2 * int(index.n_docs * max(float(index.avgdl), 1.0) * 16)
+    rescore_bcast = (
+        not two_phase
+        and os.environ.get("SEISMIC_KNN_BCAST", "1") == "1"
+        and 0 < est_vec_bytes <= _KNN_BCAST_MAX_BYTES
+    )
     res = srch.batch_search(
         spark, index.postings, index.forward, queries_df,
         k=nknn + 1, query_cut=query_cut, heap_factor=heap_factor,
         two_phase=two_phase, broadcast_queries=False,
+        rescore_bcast=rescore_bcast,
     )
     # group on the STRING query_id so the aggregation reuses the top-k
     # window's hash(query_id) partitioning (no extra Exchange — guide §2.4);

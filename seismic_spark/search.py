@@ -458,9 +458,70 @@ def _block_ubs(postings_matched: DataFrame, with_gaps: bool = True) -> DataFrame
     return cols_df.mapInArrow(scan, out_schema)
 
 
-def _fused_candidates(ubs: DataFrame, k: int, heap_factor: float) -> DataFrame:
+def _vectors_csr(
+    df: DataFrame, id_col: str, t_col: str, w_col: str, with_qkey: bool = False
+):
+    """Collect an (id, terms, weights) DataFrame into flat CSR numpy arrays
+    for executor-side broadcast (guide §3.1 / §8: ship the small vector table
+    once per executor instead of once per candidate pair).
+
+    Returns ``(ids_sorted, perm, starts, lens, t_flat, w_flat)`` — ids sorted
+    for searchsorted lookup, ``perm`` mapping sorted position → original row,
+    and per-original-row (start, len) slices into the flat term/weight
+    arrays.  ``with_qkey=True`` additionally returns the prebuilt
+    ``(qkey, qw)`` pair for :func:`_gather_qw` — the same
+    row·2^32+term combined-key construction (and the same
+    :func:`_repair_qkey` duplicate merge) the join-path scorer applies per
+    Arrow batch, so gathered weights are bitwise identical.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tbl = df.select(id_col, t_col, w_col).toArrow().combine_chunks()
+    n = tbl.num_rows
+    ids_col = tbl.column(0)
+    ids_col = ids_col.chunk(0) if ids_col.num_chunks else pa.array([], ids_col.type)
+    if pa.types.is_string(ids_col.type) or pa.types.is_large_string(ids_col.type):
+        ids = np.asarray(ids_col.to_pylist(), dtype=np.str_)
+    else:
+        ids = ids_col.to_numpy(zero_copy_only=False).astype(np.int64)
+    t_a = tbl.column(1)
+    t_a = t_a.chunk(0) if t_a.num_chunks else pa.array([], t_a.type)
+    w_a = tbl.column(2)
+    w_a = w_a.chunk(0) if w_a.num_chunks else pa.array([], w_a.type)
+    lens = pc.list_value_length(t_a).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.cumsum(lens) - lens
+    t_flat = t_a.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    w_flat = w_a.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    perm = np.argsort(ids, kind="stable")
+    out = (ids[perm], perm.astype(np.int64), starts, lens, t_flat, w_flat)
+    if not with_qkey:
+        return out
+    row_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+    qkey, qw = _repair_qkey(row_rep * _KEY_SHIFT + t_flat, w_flat)
+    return out + (qkey, qw)
+
+
+def _fused_candidates(
+    ubs: DataFrame, k: int, heap_factor: float, rescore=None
+) -> DataFrame:
     """θ derivation + skip filter + gap decode + cross-list dedup in ONE
     streamed operator — the two_phase=False tail of the in-plan path.
+
+    ``rescore=(fwd_bc, q_bc)`` (broadcast CSR tuples from
+    :func:`_vectors_csr`) additionally exact-scores the decoded candidates
+    against the broadcast vectors and emits the FINAL per-query top-k rows
+    (query_id, rank, doc_id, score) — the whole rescore tail collapses into
+    this one operator: no candidate×vector join, no 10^7-pair Arrow
+    boundary, no corpus-wide top-k exchange (guide §8: every decision uses
+    broadcast metadata; only k rows per query leave).  Scores are bitwise
+    identical to :func:`exact_score` (same flat f64 contribution arrays in
+    doc-element order, same `_gather_qw`/`_repair_qkey` floats, same
+    `segment_sums`), and the per-query rank order is the same pinned
+    (score desc, doc_id asc) total order :func:`topk` uses — pinned by
+    test_r6_optimizations.py.  Pairs whose doc or query id is absent from
+    the broadcast tables are dropped, matching the inner joins they
+    replace.
 
     Replaces the window-based `_theta_survivors` → `_decode_docs` →
     `.distinct()` chain (3 exchanges, two of them sorting the gap-blob-laden
@@ -484,6 +545,89 @@ def _fused_candidates(ubs: DataFrame, k: int, heap_factor: float) -> DataFrame:
     co-located.
     """
     hf = float(heap_factor)
+    out_schema = (
+        "query_id STRING, rank INT, doc_id BIGINT, score DOUBLE"
+        if rescore is not None
+        else "query_id STRING, doc_id BIGINT"
+    )
+
+    def _score_groups(
+        qids_g: np.ndarray, qs_m: np.ndarray, ds_m: np.ndarray
+    ) -> pd.DataFrame | None:
+        """Exact-score deduped (group, doc) pairs against the broadcast CSRs
+        and keep the per-query top-k — see the rescore contract above."""
+        f_bc, q_bc = rescore
+        f_ids, f_perm, f_starts, f_lens, f_t, f_w = f_bc.value
+        q_ids, q_perm, _qs, _ql, _qt, _qw_flat, q_key, q_w = q_bc.value
+        guids = np.asarray(qids_g, dtype=np.str_)
+        gq = np.searchsorted(q_ids, guids)
+        gq_c = np.minimum(gq, max(q_ids.size - 1, 0))
+        g_ok = (
+            q_ids[gq_c] == guids
+            if q_ids.size
+            else np.zeros(guids.size, dtype=bool)
+        )
+        qi_g = np.where(g_ok, q_perm[gq_c] if q_perm.size else 0, -1)
+        di = np.searchsorted(f_ids, ds_m)
+        di_c = np.minimum(di, max(f_ids.size - 1, 0))
+        d_ok = (
+            f_ids[di_c] == ds_m if f_ids.size else np.zeros(ds_m.size, dtype=bool)
+        )
+        ok = d_ok & (qi_g[qs_m] >= 0)
+        if not ok.all():
+            qs_m, ds_m, di_c = qs_m[ok], ds_m[ok], di_c[ok]
+        if qs_m.size == 0:
+            return None
+        di_v = f_perm[di_c]
+        lens = f_lens[di_v]
+        ends = np.cumsum(lens)
+        qi_pair = qi_g[qs_m]
+        scores = np.empty(qs_m.size, dtype=np.float64)
+        # Score in bounded element slices: one unsliced pass allocates
+        # element-length temporaries of tens-to-hundreds of MB per worker,
+        # which glibc mmaps and returns to the OS each chunk — every chunk
+        # then faults fresh pages, and under a throttled host page supply
+        # the workers stall for minutes (event-log measured: 121 s vs 2.3 s
+        # python time for identical input).  ≤ ~12 MB temporaries stay under
+        # the allocator's dynamic mmap threshold and are recycled in-heap.
+        # Per-pair contribution arrays and their segment_sums are unchanged
+        # by the slicing, so every score is bitwise identical.
+        cap = 1_500_000
+        lo = 0
+        npair = qs_m.size
+        while lo < npair:
+            base = int(ends[lo - 1]) if lo else 0
+            hi = int(np.searchsorted(ends, base + cap, side="right"))
+            hi = min(max(hi, lo + 1), npair)
+            sl = slice(lo, hi)
+            l_sl = lens[sl]
+            pstarts = np.cumsum(l_sl) - l_sl
+            tot = int(pstarts[-1] + l_sl[-1])
+            idx = np.repeat(f_starts[di_v[sl]] - pstarts, l_sl) + np.arange(
+                tot, dtype=np.int64
+            )
+            # same flat f64 contribution arrays, in doc-element order, as
+            # exact_score's Arrow batches — scores are bitwise identical
+            qw_elem = _gather_qw(
+                q_key, q_w, np.repeat(qi_pair[sl], l_sl), f_t[idx]
+            )
+            scores[sl] = codec.segment_sums(qw_elem * f_w[idx], pstarts, l_sl)
+            lo = hi
+        order = np.lexsort((ds_m, -scores, qs_m))
+        qo = qs_m[order]
+        ostarts = np.flatnonzero(np.concatenate(([True], qo[1:] != qo[:-1])))
+        olens = np.diff(np.concatenate((ostarts, [qo.size])))
+        rank = np.arange(qo.size, dtype=np.int64) - np.repeat(ostarts, olens)
+        keepk = rank < k
+        sel = order[keepk]
+        return pd.DataFrame(
+            {
+                "query_id": qids_g[qs_m[sel]],
+                "rank": (rank[keepk] + 1).astype(np.int32),
+                "doc_id": ds_m[sel],
+                "score": scores[sel],
+            }
+        )
 
     def process(pdf: pd.DataFrame) -> pd.DataFrame | None:
         qids = pdf["query_id"].to_numpy()
@@ -530,6 +674,8 @@ def _fused_candidates(ubs: DataFrame, k: int, heap_factor: float) -> DataFrame:
         mask = np.concatenate(
             ([True], (qs_[1:] != qs_[:-1]) | (ds_[1:] != ds_[:-1]))
         )
+        if rescore is not None:
+            return _score_groups(qids[g_starts], qs_[mask], ds_[mask])
         return pd.DataFrame(
             {"query_id": qids[g_starts][qs_[mask]], "doc_id": ds_[mask]}
         )
@@ -560,7 +706,7 @@ def _fused_candidates(ubs: DataFrame, k: int, heap_factor: float) -> DataFrame:
         .repartition("query_id")
         .sortWithinPartitions("query_id")
     )
-    return parted.mapInPandas(gen, "query_id STRING, doc_id BIGINT")
+    return parted.mapInPandas(gen, out_schema)
 
 
 def _decode_docs(block_rows: DataFrame) -> DataFrame:
@@ -1025,6 +1171,7 @@ def batch_search(
     broadcast_queries: bool | None = None,
     cache_registry: list[DataFrame] | None = None,
     driver_theta: bool | None = None,
+    rescore_bcast: bool = False,
 ) -> DataFrame:
     """Dynamically-pruned batch top-k (Q1/Q9 analogue), single logical plan.
 
@@ -1048,6 +1195,14 @@ def batch_search(
     17–24).  Default (None) auto-enables for driver-side dict batches of at
     most ``$SEISMIC_DRIVER_THETA_MAX`` (1024) queries; DataFrame query sets
     always use the in-plan derivation.
+
+    ``rescore_bcast`` (two_phase=False in-plan tail only): collect forward
+    and query vectors into broadcast CSR arrays and fuse exact rescore +
+    per-query top-k into the candidate operator (:func:`_fused_candidates`)
+    — result-identical; candidate×vector pair rows never materialize.  The
+    CALLER must gate on vector-table size (see knn.build_knn — two bounded
+    collects of ≈ n·avgdl·16 B each); ungated DataFrame-scale corpora
+    belong on the default join path.
     """
     if not isinstance(queries, DataFrame):
         # normalize duplicate term ids ONCE, deterministically, before path
@@ -1110,6 +1265,17 @@ def batch_search(
         # bitwise-identical (see _fused_candidates).
         if cache_registry is not None:
             retire_caches(cache_registry)
+        if rescore_bcast:
+            sc = spark.sparkContext
+            rs = (
+                sc.broadcast(_vectors_csr(forward, "doc_id", "terms", "weights")),
+                sc.broadcast(
+                    _vectors_csr(
+                        qdf, "query_id", "q_terms", "q_weights", with_qkey=True
+                    )
+                ),
+            )
+            return _fused_candidates(ubs, k, heap_factor, rescore=rs)
         cands = _fused_candidates(ubs, k, heap_factor)
         scored = exact_score(
             cands, forward, qdf, broadcast_queries=broadcast_queries

@@ -9,6 +9,8 @@ formulation it replaced (results must be identical, not just close):
 - single-aggregate minhash vs the stacked explode formulation.
 """
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import Window
@@ -152,3 +154,48 @@ def test_minhash_matches_stacked_formulation(spark):
         (r.doc_id, r.sig_idx, r.minhash) for r in df.collect()
     )
     assert key(new) == key(old)
+
+
+def test_fused_bcast_rescore_matches_join_rescore(spark, idx):
+    """rescore_bcast (broadcast-CSR scoring + per-query top-k inside the
+    fused operator) == the default join-path rescore tail — exact floats,
+    same ranks, on a self-search batch with hf < 1 (knife-edge skips) and
+    approximate summaries."""
+    qdf = idx.forward.select(
+        F.col("doc_id").cast("string").alias("query_id"),
+        F.col("terms").alias("q_terms"),
+        F.col("weights").alias("q_weights"),
+    ).filter(F.size("q_terms") > 0).limit(80)
+    kw = dict(
+        k=5, query_cut=6, heap_factor=0.7, two_phase=False,
+        broadcast_queries=False,
+    )
+    joined = srch.batch_search(
+        spark, idx.postings, idx.forward, qdf, **kw
+    )
+    fused = srch.batch_search(
+        spark, idx.postings, idx.forward, qdf, rescore_bcast=True, **kw
+    )
+    assert _rows(fused) == _rows(joined)
+    assert fused.count() > 0
+
+
+def test_build_knn_bcast_gate_matches_ungated(spark, idx):
+    """knn.build_knn with the broadcast-CSR gate engaged (default) ==
+    gate forced off — the graph is identical either way."""
+    from seismic_spark import knn as knn_mod
+
+    g_on = knn_mod.build_knn(idx, nknn=4, query_cut=6, heap_factor=0.7)
+    old_env = os.environ.get("SEISMIC_KNN_BCAST")
+    os.environ["SEISMIC_KNN_BCAST"] = "0"
+    try:
+        g_off = knn_mod.build_knn(idx, nknn=4, query_cut=6, heap_factor=0.7)
+        key = lambda df: sorted(
+            (r.doc_id, tuple(r.neighbors)) for r in df.collect()
+        )
+        assert key(g_on) == key(g_off)
+    finally:
+        if old_env is None:
+            os.environ.pop("SEISMIC_KNN_BCAST", None)
+        else:
+            os.environ["SEISMIC_KNN_BCAST"] = old_env
