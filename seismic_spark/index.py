@@ -81,6 +81,11 @@ class SeismicSparkIndex:
         # search on this index retires this index's previous ubs cache only,
         # so interleaved searches on two indexes never thrash each other
         self._ubs_caches: list[DataFrame] = []
+        # per-INSTANCE driver CSR cache (search.batch_search local_score):
+        # the forward table collected once for driver-side rescoring of
+        # size-gated interactive batches; tables are immutable, so the copy
+        # never invalidates (convert() returns a new index)
+        self._csr_cache: dict = {}
         # space_usage() result cache: the index tables are immutable, so the
         # byte accounting is too — load() pre-populates it from meta.json so
         # replica hydration skips the full-table pre-scan (r6, VERDICT #5)
@@ -434,6 +439,15 @@ class SeismicSparkIndex:
                 or heap_factor < 1.0
             )
         qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
+        # driver-CSR scoring gate: interactive batches on a forward table
+        # that fits the driver budget run the fully-local fast path
+        # (search._driver_theta_local — result-identical, one Spark job);
+        # larger corpora keep the distributed formulations unchanged
+        est_fwd_bytes = int(self.n_docs * max(float(self.avgdl), 1.0) * 16)
+        local_score = (
+            os.environ.get("SEISMIC_LOCAL_SCORE", "1") == "1"
+            and 0 < est_fwd_bytes <= srch._LOCAL_SCORE_MAX_BYTES
+        )
         base = srch.batch_search(
             self.spark,
             self._postings_for(qvecs),
@@ -444,6 +458,8 @@ class SeismicSparkIndex:
             heap_factor=heap_factor,
             two_phase=two_phase,
             cache_registry=self._ubs_caches,
+            local_score=local_score,
+            csr_cache=self._csr_cache,
         )
         if n_knn <= 0:
             return base
@@ -556,7 +572,15 @@ class SeismicSparkIndex:
     ) -> DataFrame:
         """Exact full-scan ground truth (Q10)."""
         qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
-        return srch.bruteforce_search(self.spark, self.forward, qvecs, k)
+        est_fwd_bytes = int(self.n_docs * max(float(self.avgdl), 1.0) * 16)
+        local_score = (
+            os.environ.get("SEISMIC_LOCAL_SCORE", "1") == "1"
+            and 0 < est_fwd_bytes <= srch._LOCAL_SCORE_MAX_BYTES
+        )
+        return srch.bruteforce_search(
+            self.spark, self.forward, qvecs, k,
+            local_score=local_score, csr_cache=self._csr_cache,
+        )
 
     # --------------------------------------------------------------- knn ----
 

@@ -285,6 +285,16 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     keys; for big corpora the position join broadcasts the (small) query
     side.
     """
+    # Under-split corpora (e.g. one parquet file) would run the whole
+    # explode→join→partial-agg pipeline — queries × corpus × dim rows — in
+    # ONE scan task (guide §2.5/§6).  Redistribute by vec_id first: every
+    # (query, vec) group stays within one partition with its contributions
+    # arriving in the same position order, so each f64 dot accumulates in
+    # exactly the order it did unrepartitioned — bitwise-identical sums,
+    # cores-wide parallelism.  Well-split inputs skip it.
+    sc = corpus.sparkSession.sparkContext
+    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
+        corpus = corpus.repartition(sc.defaultParallelism, "vec_id")
     qf = _flat(queries, "query_id", "q")
     cf = _flat(corpus, "vec_id", "c")
     dots = (

@@ -42,7 +42,23 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams, space-joined."""
+    """(doc_id, shingle) — distinct word n-grams, space-joined.
+
+    The n-gram build + per-shingle hashing downstream is the expensive map
+    work of every shingle consumer, and its parallelism is whatever the
+    input scan gives — a corpus that arrives as one file (or a handful
+    smaller than ``maxPartitionBytes``) runs it on ONE core (event-log
+    measured: the whole minhash pipeline in a single 5.8 s task at bench
+    scale).  Under-split inputs are redistributed to the session's
+    parallelism first: the extra exchange moves only the raw text once and
+    buys a cores-wide map stage (guide §2.5 input skew / §6 split sizing);
+    well-split inputs (any at-scale corpus) skip it.  Output is a per-doc
+    row set — partitioning-independent, so results are unchanged.
+    """
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     toks = tokens_col(F.col("text"))
     grams = F.filter(
         F.transform(

@@ -26,9 +26,25 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = max(32, cores)
+    # The preloaded daemon module (spark.python.daemon.module below) is
+    # spawned as `python -m seismic_spark.daemon` with the DRIVER's env —
+    # put the package root on PYTHONPATH before the JVM launches so the
+    # daemon resolves even when the driver was started from another cwd
+    # with only sys.path pointing here.
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_root + (os.pathsep + _pp if _pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
+        # preloaded-imports worker daemon (seismic_spark/daemon.py): forked
+        # workers inherit numpy/pandas/pyarrow already imported, removing
+        # the per-worker import storm from the session's first Python-UDF
+        # stage (cluster-safe — the module ships with the package)
+        .config("spark.python.daemon.module", "seismic_spark.daemon")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

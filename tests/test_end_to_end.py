@@ -85,7 +85,24 @@ def test_prepare_serving_identical_results(spark):
         (r.rank, r.doc_id, round(r.score, 10)) for r in res.collect()
     ]
     assert after == before and after
-    assert "InMemoryTableScan" in res._jdf.queryExecution().executedPlan().toString()
+    # the InMemoryTableScan claim is about the DISTRIBUTED rescore join —
+    # the r6 driver-CSR fast path answers gated-small batches locally
+    # (LocalTableScan result), so pin the plan shape with it disabled
+    import os
+
+    os.environ["SEISMIC_LOCAL_SCORE"] = "0"
+    try:
+        res_dist = idx.batch_search(q, k=5, heap_factor=1.0)
+        dist = [
+            (r.rank, r.doc_id, round(r.score, 10))
+            for r in res_dist.collect()
+        ]
+        assert dist == before
+        assert "InMemoryTableScan" in (
+            res_dist._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        os.environ.pop("SEISMIC_LOCAL_SCORE", None)
     idx.unpersist_serving()
 
 
