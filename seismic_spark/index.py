@@ -141,6 +141,14 @@ class SeismicSparkIndex:
         if missing_tokens not in ("warn", "error", "ignore"):
             raise ValueError(f"unknown missing_tokens {missing_tokens!r}")
         cfg = config or IndexConfig()
+        # under-split inputs (one parquet file at bench scale) would run the
+        # tokenize/stats map work in a single task (guide §2.5/§6); build
+        # output is partitioning-independent by design (integer count
+        # aggregates, per-row weight formulas, pinned window orders), so
+        # redistributing is result-neutral
+        from seismic_spark.session import ensure_min_parallelism
+
+        docs = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
         toks = textprep.tokenize(docs.select(id_col, text_col), text_col)
         toks = toks.persist()
         n_docs, avgdl = textprep.corpus_stats(toks)

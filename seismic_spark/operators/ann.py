@@ -285,16 +285,13 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     keys; for big corpora the position join broadcasts the (small) query
     side.
     """
-    # Under-split corpora (e.g. one parquet file) would run the whole
-    # explode→join→partial-agg pipeline — queries × corpus × dim rows — in
-    # ONE scan task (guide §2.5/§6).  Redistribute by vec_id first: every
-    # (query, vec) group stays within one partition with its contributions
-    # arriving in the same position order, so each f64 dot accumulates in
-    # exactly the order it did unrepartitioned — bitwise-identical sums,
-    # cores-wide parallelism.  Well-split inputs skip it.
-    sc = corpus.sparkSession.sparkContext
-    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
-        corpus = corpus.repartition(sc.defaultParallelism, "vec_id")
+    # Round-6 note: redistributing an under-split corpus here (the
+    # session.ensure_min_parallelism treatment dedup.shingles gets) was
+    # measured BOTH ways and rejected: the steady-state map stage improves
+    # 0.6 → 0.4 s at bench scale, but the extra Exchange's one-shot
+    # planning/codegen costs ~0.35 s, a net loss for the single-invocation
+    # oracle shape this operator serves (fresh-session A/B: 3.7 s vs 4.0 s
+    # end-to-end).  At scale the input arrives well-split anyway.
     qf = _flat(queries, "query_id", "q")
     cf = _flat(corpus, "vec_id", "c")
     dots = (

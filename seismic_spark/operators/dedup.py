@@ -46,19 +46,15 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
     The n-gram build + per-shingle hashing downstream is the expensive map
     work of every shingle consumer, and its parallelism is whatever the
-    input scan gives — a corpus that arrives as one file (or a handful
-    smaller than ``maxPartitionBytes``) runs it on ONE core (event-log
-    measured: the whole minhash pipeline in a single 5.8 s task at bench
-    scale).  Under-split inputs are redistributed to the session's
-    parallelism first: the extra exchange moves only the raw text once and
-    buys a cores-wide map stage (guide §2.5 input skew / §6 split sizing);
-    well-split inputs (any at-scale corpus) skip it.  Output is a per-doc
-    row set — partitioning-independent, so results are unchanged.
+    input scan gives — a corpus that arrives as one file runs it on ONE
+    core (event-log measured: the whole minhash pipeline in a single 5.8 s
+    task at bench scale).  Under-split inputs are redistributed first
+    (session.ensure_min_parallelism); the per-doc output row set is
+    partitioning-independent, so results are unchanged.
     """
-    sc = docs.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
+    from seismic_spark.session import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs, "doc_id")
     toks = tokens_col(F.col("text"))
     grams = F.filter(
         F.transform(

@@ -60,3 +60,26 @@ def get_spark(
     if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_LOCAL_DIRS"):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     return builder.getOrCreate()
+
+
+def ensure_min_parallelism(df, key: str | None = None):
+    """Redistribute an under-split DataFrame to the session's parallelism.
+
+    A scan of one file (or a handful under ``maxPartitionBytes``) hands every
+    downstream narrow stage a single task — event-log measured on this
+    engine: whole tokenize/shingle/hash pipelines in one multi-second task
+    at bench scale (guide §2.5 input skew / §6 split sizing).  When the
+    current partition count is below the cluster's default parallelism, one
+    cheap exchange of the raw rows buys a cores-wide map stage; well-split
+    inputs (any at-scale corpus) return unchanged.  ``key`` hash-partitions
+    by that column (keeps each key's rows co-located and in stable relative
+    order — required where downstream f64 aggregation order must not move);
+    None uses round-robin.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(key)) if key else df.repartition(target)
