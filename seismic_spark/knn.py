@@ -30,8 +30,13 @@ from seismic_spark import search as srch
 # candidate set) never carry vectors through an exchange or the Arrow
 # boundary (guide §8).  Above the cap the un-collected join path runs
 # unchanged, so the gate is scale-safe: est. bytes = 2 sides × n·avgdl·16.
+# avgdl counts TOKENS, so the estimate overshoots true CSR bytes ~5–10×
+# for tokenized corpora; at the 1 GB default the worst-case per-worker
+# residency (pre-weighted vectors, avgdl == nnz) is ~1 GB across both
+# broadcast sides — ~32 GB over 32 local workers, within the 128 GB box,
+# and far less in the tokenized common case.
 _KNN_BCAST_MAX_BYTES = int(
-    os.environ.get("SEISMIC_KNN_BCAST_MAX_BYTES", str(512 << 20))
+    os.environ.get("SEISMIC_KNN_BCAST_MAX_BYTES", str(1 << 30))
 )
 
 

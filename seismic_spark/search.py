@@ -1024,8 +1024,12 @@ _DRIVER_GAPS_MAX_ROWS = int(
 # corpus is small enough that one process holds it (the serving replica's
 # hydration budget, in miniature).  Above the cap nothing is collected and
 # the distributed formulations run unchanged, so the gate is scale-safe.
+# Default sizing: avgdl counts TOKENS, so for tokenized corpora the
+# estimate overshoots true forward nnz bytes ~5–10× — 384 MB estimated is
+# ≤ ~50–80 MB actually collected there, and at worst (pre-weighted
+# vectors, avgdl == nnz) a one-time 384 MB pull on an 8 GB driver.
 _LOCAL_SCORE_MAX_BYTES = int(
-    os.environ.get("SEISMIC_LOCAL_SCORE_MAX_BYTES", str(64 << 20))
+    os.environ.get("SEISMIC_LOCAL_SCORE_MAX_BYTES", str(384 << 20))
 )
 
 _OVERFLOW = object()  # sentinel: local fast path exceeded its row cap
