@@ -59,7 +59,14 @@ class TermPostings:
     s_vals: np.ndarray  # f64[sum s_lens]    dequantized (f32 math) values
     s_starts: np.ndarray  # int64[nb]
     s_lens: np.ndarray  # int64[nb]
-    m_ids: np.ndarray  # int64[sum m_lens]  member doc ids (asc within block)
+    # member docs as POSITIONS into the replica's sorted doc_ids / forward
+    # CSR (asc within block — positions are a monotone bijection of the doc
+    # ids, so every order/dedup/tie property of the id formulation is
+    # preserved).  Hydration remaps ids→positions once (r6: the query path
+    # paid a per-candidate searchsorted over the corpus-sized id array on
+    # EVERY score pass — ~0.2 ms/query at 1M docs — now a direct index);
+    # int32 also halves this largest replica array.
+    m_pos: np.ndarray  # int32[sum m_lens]
     m_starts: np.ndarray  # int64[nb]
     m_lens: np.ndarray  # int64[nb]
 
@@ -138,6 +145,11 @@ class ServingReplica:
     same columns `(query_id, rank, doc_id, score)` and bit-identical values.
     """
 
+    # Dense query-weight LUT gate: one f64 slot per component id (32 MB at
+    # the 4M default).  Larger id spaces fall back to the searchsorted
+    # gather — value-identical either way.
+    _LUT_MAX_DIM = 1 << 22
+
     def __init__(
         self,
         vocab: dict[str, int],
@@ -162,6 +174,22 @@ class ServingReplica:
         self.fwd_terms = fwd_terms
         self.fwd_weights = fwd_weights
         self.config = config
+        # per-query dense weight table (r6, VERDICT #4): batch_search
+        # scatters the CURRENT query's ~10 weights into it before the UB /
+        # rescore gathers and zeroes them after, so every per-element
+        # query-weight lookup is ONE fancy-index gather instead of a
+        # 4-pass searchsorted/clip/eq/where — the same value (stored
+        # weight at hits, 0.0 at misses), so floats are unchanged.  All
+        # gathered id spaces (summary terms, forward terms ⊆ corpus
+        # components; query ids ⊆ vocab ids) are covered by dim.
+        dim = int(fwd_terms.max()) + 1 if fwd_terms.size else 0
+        if vocab:
+            dim = max(dim, max(vocab.values()) + 1)
+        self._qw_lut = (
+            np.zeros(dim, dtype=np.float64)
+            if 0 < dim <= self._LUT_MAX_DIM
+            else None
+        )
 
     # ------------------------------------------------------- hydration ----
 
@@ -249,6 +277,33 @@ class ServingReplica:
             + codes_concat.astype(np.float32) * np.repeat(quants_flat, s_lens_g)
         ).astype(np.float32, copy=False).astype(np.float64)
 
+        # ---- forward: flat values in storage order + sorted row offsets --
+        # hydrated BEFORE the postings regroup so member doc ids can be
+        # remapped to forward POSITIONS in one vectorized pass (see
+        # TermPostings.m_pos).  Only the per-row (start, len) offsets are
+        # permuted into doc-id order; the element arrays are left as
+        # flattened (no nested-column sort, no element permutation —
+        # _score_docs gathers by slice).
+        ftbl = _read_snapshot(idx, "forward", ["doc_id", "terms", "weights"])
+        if ftbl is None:
+            ftbl = idx.forward.select("doc_id", "terms", "weights").toArrow()
+        doc_ids_raw = (
+            ftbl.column("doc_id").combine_chunks().to_numpy().astype(np.int64)
+        )
+        ft_child, flens = _list_flat(ftbl.column("terms"))
+        fw_child, _ = _list_flat(ftbl.column("weights"))
+        fwd_terms = ft_child.to_numpy().astype(np.int64)
+        fwd_weights = fw_child.to_numpy().astype(np.float64)
+        forder = np.argsort(doc_ids_raw, kind="stable")
+        starts_raw = np.cumsum(flens) - flens
+        doc_ids_sorted = doc_ids_raw[forder]
+
+        # ids → positions, once (the query path previously re-derived these
+        # positions with a searchsorted over the corpus-sized id array on
+        # every score pass); postings member ids always exist in forward,
+        # so the mapping is total
+        m_pos_g = np.searchsorted(doc_ids_sorted, m_ids_g).astype(np.int32)
+
         # ---- per-row block/element ranges in storage order ---------------
         nrows = term_id.size
         row_b0 = np.cumsum(nb) - nb  # first block index of each row
@@ -276,7 +331,7 @@ class ServingReplica:
                 blocks_g[b0:b1], bmax_g[b0:b1],
                 s_terms_g[s_row0[r]:s_row1[r]], s_vals_g[s_row0[r]:s_row1[r]],
                 s_starts_all[b0:b1], s_lens_g[b0:b1],
-                m_ids_g[m_row0[r]:m_row1[r]],
+                m_pos_g[m_row0[r]:m_row1[r]],
                 m_starts_all[b0:b1], m_lens_g[b0:b1],
             )
 
@@ -315,24 +370,8 @@ class ServingReplica:
                 )
             postings[int(t_sorted[a])] = TermPostings(*parts)
 
-        # ---- forward: flat values in storage order + sorted row offsets --
-        # only the per-row (start, len) offsets are permuted into doc-id
-        # order; the element arrays are left as flattened (no nested-column
-        # sort, no element permutation — _score_docs gathers by slice)
-        ftbl = _read_snapshot(idx, "forward", ["doc_id", "terms", "weights"])
-        if ftbl is None:
-            ftbl = idx.forward.select("doc_id", "terms", "weights").toArrow()
-        doc_ids_raw = (
-            ftbl.column("doc_id").combine_chunks().to_numpy().astype(np.int64)
-        )
-        ft_child, flens = _list_flat(ftbl.column("terms"))
-        fw_child, _ = _list_flat(ftbl.column("weights"))
-        fwd_terms = ft_child.to_numpy().astype(np.int64)
-        fwd_weights = fw_child.to_numpy().astype(np.float64)
-        forder = np.argsort(doc_ids_raw, kind="stable")
-        starts_raw = np.cumsum(flens) - flens
         return cls(
-            vocab, postings, doc_ids_raw[forder], starts_raw[forder],
+            vocab, postings, doc_ids_sorted, starts_raw[forder],
             flens[forder], fwd_terms, fwd_weights, idx.config,
         )
 
@@ -357,16 +396,23 @@ class ServingReplica:
         )
 
     def _score_docs(
-        self, qt: np.ndarray, qw: np.ndarray, docs: np.ndarray
+        self, qt: np.ndarray, qw: np.ndarray, pos: np.ndarray
     ) -> np.ndarray:
         """Exact dot of the FULL query vector vs each doc's forward row —
         the per-row math of search.exact_score (gather + segment_sums), so
-        each doc's float is bitwise the executor's."""
-        pos = np.searchsorted(self.doc_ids, docs)
+        each doc's float is bitwise the executor's.  ``pos`` is forward
+        POSITIONS (see TermPostings.m_pos) — a direct index, no per-call
+        searchsorted over the corpus id array.  When the weight LUT is
+        active, batch_search has already scattered THIS query's weights
+        into it (same value as the searchsorted gather)."""
         starts = self.fwd_starts[pos]
         lens = self.fwd_lens[pos]
         flat = _flat_slices(starts, lens)
-        contrib = _gather_qw(qt, qw, self.fwd_terms[flat]) * self.fwd_weights[flat]
+        if self._qw_lut is not None:
+            qw_elem = self._qw_lut[self.fwd_terms[flat]]
+        else:
+            qw_elem = _gather_qw(qt, qw, self.fwd_terms[flat])
+        contrib = qw_elem * self.fwd_weights[flat]
         offsets = np.cumsum(lens) - lens
         return codec.segment_sums(contrib, offsets, lens)
 
@@ -421,6 +467,10 @@ class ServingReplica:
             ]
             if not matched:
                 continue
+            if self._qw_lut is not None:
+                # scatter this query's weights (zeroed again at the end of
+                # the iteration — `continue`s below reset first)
+                self._qw_lut[qt] = qw
 
             # per-block summary UBs + block-max lbs — ONE concatenated
             # gather + segment-sums call across every matched term (r6,
@@ -439,8 +489,12 @@ class ServingReplica:
                 sv_cat = np.concatenate([tp.s_vals for _, _, tp in matched])
                 lens_cat = np.concatenate([tp.s_lens for _, _, tp in matched])
                 starts_cat = np.cumsum(lens_cat) - lens_cat
+            if self._qw_lut is not None:
+                qw_st = self._qw_lut[st_cat]
+            else:
+                qw_st = _gather_qw(qt, qw, st_cat)
             ub_cat = codec.segment_sums(
-                _gather_qw(qt, qw, st_cat) * sv_cat, starts_cat, lens_cat
+                qw_st * sv_cat, starts_cat, lens_cat
             )
             ubs_per_term: list[np.ndarray] = []
             off = 0
@@ -464,7 +518,7 @@ class ServingReplica:
                         continue
                     bi = int(np.argmax(ub))
                     s, n = tp.m_starts[bi], tp.m_lens[bi]
-                    p1_parts.append(tp.m_ids[s:s + n])
+                    p1_parts.append(tp.m_pos[s:s + n])
                 if p1_parts:
                     p1_docs = np.unique(np.concatenate(p1_parts))
                     scores = self._score_docs(qt, qw, p1_docs)
@@ -485,16 +539,23 @@ class ServingReplica:
                 if not keep.any():
                     continue
                 flat = _flat_slices(tp.m_starts[keep], tp.m_lens[keep])
-                cand_parts.append(tp.m_ids[flat])
+                cand_parts.append(tp.m_pos[flat])
             if not cand_parts:
+                if self._qw_lut is not None:
+                    self._qw_lut[qt] = 0.0
                 continue
+            # positions are a monotone bijection of the doc ids, so the
+            # unique/dedup set and the (score desc, doc asc) tie order are
+            # exactly the id formulation's; only the k winners map back
             cands = np.unique(np.concatenate(cand_parts))
             scores = self._score_docs(qt, qw, cands)
             top = np.lexsort((cands, -scores))[:k]
             out_qid.extend([qid] * top.size)
             out_rank.append(np.arange(1, top.size + 1, dtype=np.int32))
-            out_doc.append(cands[top])
+            out_doc.append(self.doc_ids[cands[top]])
             out_score.append(scores[top])
+            if self._qw_lut is not None:
+                self._qw_lut[qt] = 0.0
 
         if not out_qid:
             return pd.DataFrame(
