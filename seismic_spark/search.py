@@ -66,6 +66,10 @@ QVec = tuple[np.ndarray, np.ndarray]  # (term_ids sorted asc int64, weights f64)
 QUERIES_SCHEMA = "query_id STRING, q_terms ARRAY<INT>, q_weights ARRAY<DOUBLE>"
 
 _KEY_SHIFT = np.int64(1) << np.int64(32)  # (row, term) → sortable combined key
+# dense query-weight LUT gate for _score_pairs_csr (one f64 slot per term id,
+# 32 MB at the 4M default — the serving replica's §13b gate, same rationale);
+# larger id spaces fall back to the value-identical searchsorted gather
+_SCORE_LUT_MAX_DIM = 1 << 22
 
 
 # ------------------------------------------------------ query resolution ----
@@ -532,6 +536,20 @@ def _score_pairs_csr(
     threads.  Per-slice computation is untouched, so scores stay bitwise
     identical at any thread count.  DRIVER callers use it; executor-side
     callers keep 1 (their parallelism is the task grid).
+
+    Query-weight gather (r6 pass 3): the per-element ``_gather_qw``
+    binary search (log|q_key| comparisons PER ELEMENT) was this pass's
+    dominant cost — microbenched ~18× slower than a fancy-index gather at
+    the knn design point, and the fused-rescore stage's task-seconds were
+    ≈ the searchsorted cost alone.  The pair stream arrives in per-query
+    runs, so the serving replica's dense-LUT trick (§13b) applies: scatter
+    the current run's repaired weights into a per-thread dense table,
+    gather by term id, zero the run's slots.  Value-identical by
+    construction — stored (duplicate-merged) weight at hits, 0.0 at misses,
+    the same floats `_gather_qw` returns — so every score is bitwise
+    unchanged (pinned by test_r6_optimizations).  Falls back to the
+    searchsorted gather when the term-id space exceeds ``_SCORE_LUT_MAX_DIM``
+    (dense table > 32 MB) or ``SEISMIC_SCORE_LUT=0``.
     """
     lens = f_lens[di_v]
     ends = np.cumsum(lens)
@@ -547,6 +565,18 @@ def _score_pairs_csr(
         bounds.append((lo, hi))
         lo = hi
 
+    lut_dim = 0
+    if q_key.size and os.environ.get("SEISMIC_SCORE_LUT", "1") == "1":
+        # all gathered term ids are < _KEY_SHIFT by construction; dim covers
+        # both the forward element ids and the query term ids
+        dim = 1 + max(
+            int(f_t.max()) if f_t.size else 0,
+            int((q_key % _KEY_SHIFT).max()),
+        )
+        if dim <= _SCORE_LUT_MAX_DIM:
+            lut_dim = dim
+    _luts: dict[int, np.ndarray] = {}
+
     def _slice(b: tuple[int, int]) -> None:
         lo, hi = b
         sl = slice(lo, hi)
@@ -556,6 +586,38 @@ def _score_pairs_csr(
         idx = np.repeat(f_starts[di_v[sl]] - pstarts, l_sl) + np.arange(
             tot, dtype=np.int64
         )
+        if lut_dim:
+            import threading
+
+            tid = threading.get_ident()
+            lut = _luts.get(tid)
+            if lut is None:
+                lut = np.zeros(lut_dim, dtype=np.float64)
+                _luts[tid] = lut
+            terms_el = f_t[idx]
+            qi_sl = qi_pair[sl]
+            qw_elem = np.empty(tot, dtype=np.float64)
+            run_s = np.flatnonzero(
+                np.concatenate(([True], qi_sl[1:] != qi_sl[:-1]))
+            )
+            run_e = np.concatenate((run_s[1:], [qi_sl.size]))
+            el_of = np.concatenate((pstarts, [tot]))
+            for rs, re_ in zip(run_s, run_e):
+                q = int(qi_sl[rs])
+                a = int(np.searchsorted(q_key, q * _KEY_SHIFT, side="left"))
+                bq = int(
+                    np.searchsorted(q_key, (q + 1) * _KEY_SHIFT, side="left")
+                )
+                es, ee = int(el_of[rs]), int(el_of[re_])
+                if a == bq:  # query absent from q_key → all misses (0.0)
+                    qw_elem[es:ee] = 0.0
+                    continue
+                qt_r = (q_key[a:bq] % _KEY_SHIFT).astype(np.int64)
+                lut[qt_r] = q_w[a:bq]
+                qw_elem[es:ee] = lut[terms_el[es:ee]]
+                lut[qt_r] = 0.0
+            scores[sl] = codec.segment_sums(qw_elem * f_w[idx], pstarts, l_sl)
+            return
         qw_elem = _gather_qw(
             q_key, q_w, np.repeat(qi_pair[sl], l_sl), f_t[idx]
         )

@@ -199,3 +199,53 @@ def test_build_knn_bcast_gate_matches_ungated(spark, idx):
             os.environ.pop("SEISMIC_KNN_BCAST", None)
         else:
             os.environ["SEISMIC_KNN_BCAST"] = old_env
+
+
+def test_score_pairs_csr_lut_matches_searchsorted():
+    """The dense-LUT query-weight gather inside _score_pairs_csr == the
+    searchsorted _gather_qw formulation — exact floats, at 1 and 4 threads,
+    including empty doc rows, queries absent from q_key, duplicate query
+    terms (pre-repair), and the forced fallback path."""
+    rng = np.random.default_rng(11)
+    ndocs, nterms, nq = 300, 2500, 40
+    f_lens = rng.integers(0, 40, ndocs).astype(np.int64)
+    f_lens[5] = 0  # empty forward row
+    f_starts = np.cumsum(f_lens) - f_lens
+    total = int(f_lens.sum())
+    f_t = np.empty(total, dtype=np.int64)
+    f_w = rng.random(total)
+    for i in range(ndocs):
+        s, l = int(f_starts[i]), int(f_lens[i])
+        f_t[s:s + l] = np.sort(rng.choice(nterms, l, replace=False))
+    keys, ws = [], []
+    for q in range(nq):
+        t = rng.integers(0, nterms, 9)  # duplicates possible pre-repair
+        keys.append(q * (1 << 32) + t)
+        ws.append(rng.random(9) * 2)
+    qkey, qw = srch._repair_qkey(
+        np.concatenate(keys).astype(np.int64), np.concatenate(ws)
+    )
+    qi = np.repeat(np.arange(nq + 3), 23)[: nq * 23 + 10]  # some absent qs
+    di = rng.integers(0, ndocs, qi.size)
+
+    old = os.environ.get("SEISMIC_SCORE_LUT")
+    try:
+        os.environ["SEISMIC_SCORE_LUT"] = "0"
+        base = srch._score_pairs_csr(
+            qi, di, f_starts, f_lens, f_t, f_w, qkey, qw, threads=1
+        )
+        os.environ["SEISMIC_SCORE_LUT"] = "1"
+        lut1 = srch._score_pairs_csr(
+            qi, di, f_starts, f_lens, f_t, f_w, qkey, qw, threads=1
+        )
+        lut4 = srch._score_pairs_csr(
+            qi, di, f_starts, f_lens, f_t, f_w, qkey, qw, threads=4
+        )
+    finally:
+        if old is None:
+            os.environ.pop("SEISMIC_SCORE_LUT", None)
+        else:
+            os.environ["SEISMIC_SCORE_LUT"] = old
+    assert np.array_equal(base, lut1)
+    assert np.array_equal(base, lut4)
+    assert base.size == qi.size and np.isfinite(base).all()
