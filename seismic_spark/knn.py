@@ -60,17 +60,28 @@ def build_knn(index, nknn: int = 10, batch_size: int | None = None,
         F.col("weights").alias("q_weights"),
     ).filter(F.size("q_terms") > 0)
     est_vec_bytes = 2 * int(index.n_docs * max(float(index.avgdl), 1.0) * 16)
-    rescore_bcast = (
-        not two_phase
-        and os.environ.get("SEISMIC_KNN_BCAST", "1") == "1"
-        and 0 < est_vec_bytes <= _KNN_BCAST_MAX_BYTES
-    )
-    res = srch.batch_search(
-        spark, index.postings, index.forward, queries_df,
-        k=nknn + 1, query_cut=query_cut, heap_factor=heap_factor,
-        two_phase=two_phase, broadcast_queries=False,
-        rescore_bcast=rescore_bcast,
-    )
+    gated = not two_phase and 0 < est_vec_bytes <= _KNN_BCAST_MAX_BYTES
+    if gated and os.environ.get("SEISMIC_KNN_REPLICA", "1") == "1":
+        # map-only self-search (r6 pass 3): broadcast a ServingReplica —
+        # bit-identical to batch_search by test_serving's pinning — and
+        # run every query against it inside ONE map stage over the forward
+        # scan: no block-UB scan, no gap-blob exchange, no per-pair rows
+        # anywhere (guide §8 taken to its end for size-gated corpora).
+        # Above the gate (or SEISMIC_KNN_REPLICA=0) the prior paths run
+        # unchanged.
+        res = _replica_self_search(
+            index, queries_df, nknn + 1, query_cut, heap_factor
+        )
+    else:
+        rescore_bcast = (
+            gated and os.environ.get("SEISMIC_KNN_BCAST", "1") == "1"
+        )
+        res = srch.batch_search(
+            spark, index.postings, index.forward, queries_df,
+            k=nknn + 1, query_cut=query_cut, heap_factor=heap_factor,
+            two_phase=two_phase, broadcast_queries=False,
+            rescore_bcast=rescore_bcast,
+        )
     # group on the STRING query_id so the aggregation reuses the top-k
     # window's hash(query_id) partitioning (no extra Exchange — guide §2.4);
     # the bigint cast is injective here (ids were produced by a bigint→string
@@ -89,6 +100,76 @@ def build_knn(index, nknn: int = 10, batch_size: int | None = None,
             ).alias("neighbors")
         )
         .select(F.col("query_id").cast("bigint").alias("doc_id"), "neighbors")
+    )
+
+
+def _replica_self_search(
+    index, queries_df: DataFrame, k: int, query_cut: int, heap_factor: float
+) -> DataFrame:
+    """Score every query row against a broadcast :class:`ServingReplica` in
+    one map stage — (query_id, rank, doc_id, score), bitwise-identical to
+    `search.batch_search` on the same index/params (the replica IS the
+    pinned bit-identical twin of batch_search, tests/test_serving.py;
+    `test_build_knn_replica_matches_join` pins this path against both prior
+    formulations on real data).
+
+    Per-row duplicate/merge semantics match the engine's `_repair_qkey`
+    batch-side repair: forward rows are duplicate-free and term-sorted by
+    construction, and `merge_sorted_terms` is the identity on such rows —
+    the merge only exists as belt-and-braces for non-forward callers.
+
+    Cost model (why this wins): the replica's postings+forward arrays are
+    ≈ the index's own bytes, shipped ONCE per executor via broadcast (the
+    `__getstate__` flat-state pickle), while the prior path shipped every
+    (query, term) pair's gap blob through an exchange and re-decoded it
+    per task.  One narrow map over the forward scan is the entire search.
+    """
+    rep = index.serving_replica()
+    bc = index.spark.sparkContext.broadcast(rep)
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        r = bc.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out_qid: list[str] = []
+            out_rank: list[np.ndarray] = []
+            out_doc: list[np.ndarray] = []
+            out_score: list[np.ndarray] = []
+            qids = pdf["query_id"].to_numpy()
+            t_col = pdf["q_terms"].to_numpy()
+            w_col = pdf["q_weights"].to_numpy()
+            for i in range(len(pdf)):
+                t = np.asarray(t_col[i], dtype=np.int64)
+                if t.size == 0:
+                    continue
+                w = np.asarray(w_col[i], dtype=np.float64)
+                qt, qw = srch.merge_sorted_terms(t, w)
+                hit = r._search_resolved(
+                    qt, qw, k, query_cut, heap_factor, False
+                )
+                if hit is None:
+                    continue
+                pos, sc = hit
+                out_qid.extend([qids[i]] * pos.size)
+                out_rank.append(np.arange(1, pos.size + 1, dtype=np.int32))
+                out_doc.append(r.doc_ids[pos])
+                out_score.append(sc)
+            if out_qid:
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_qid,
+                        "rank": np.concatenate(out_rank),
+                        "doc_id": np.concatenate(out_doc),
+                        "score": np.concatenate(out_score),
+                    }
+                )
+
+    return queries_df.mapInPandas(
+        gen, "query_id STRING, rank INT, doc_id BIGINT, score DOUBLE"
     )
 
 

@@ -191,6 +191,73 @@ class ServingReplica:
             else None
         )
 
+    # -------------------------------------------------- pickle support ----
+    # A replica is broadcast to executors for the map-only κ-NN path (r6
+    # pass 3, knn.build_knn).  Pickling the per-term dict naively copies
+    # ~10 small arrays per term (hundreds of thousands of tiny objects);
+    # instead the state concatenates each field across terms in sorted-term
+    # order (a handful of large arrays — memcpy-speed pickle) and rebuilds
+    # the per-term TermPostings as zero-copy SLICES on unpickle.  Every
+    # per-term array holds exactly the same values after the round trip
+    # (pinned by test_serving_pickle_roundtrip).
+
+    def __getstate__(self) -> dict:
+        terms = np.fromiter(self.postings.keys(), dtype=np.int64)
+        terms.sort()
+        fields: dict[str, list[np.ndarray]] = {
+            f: [] for f in (
+                "salts", "blocks", "bmax", "s_terms", "s_vals", "s_starts",
+                "s_lens", "m_pos", "m_starts", "m_lens",
+            )
+        }
+        nb = np.empty(terms.size, dtype=np.int64)
+        ns = np.empty(terms.size, dtype=np.int64)
+        nm = np.empty(terms.size, dtype=np.int64)
+        for i, t in enumerate(terms):
+            tp = self.postings[int(t)]
+            nb[i], ns[i], nm[i] = tp.salts.size, tp.s_terms.size, tp.m_pos.size
+            for f in fields:
+                fields[f].append(getattr(tp, f))
+        packed = {
+            f: (np.concatenate(v) if v else np.empty(0))
+            for f, v in fields.items()
+        }
+        return {
+            "vocab": self.vocab,
+            "doc_ids": self.doc_ids,
+            "fwd_starts": self.fwd_starts,
+            "fwd_lens": self.fwd_lens,
+            "fwd_terms": self.fwd_terms,
+            "fwd_weights": self.fwd_weights,
+            "config": self.config,
+            "p_terms": terms,
+            "p_nb": nb,
+            "p_ns": ns,
+            "p_nm": nm,
+            "p_fields": packed,
+        }
+
+    def __setstate__(self, st: dict) -> None:
+        terms, nb, ns, nm = st["p_terms"], st["p_nb"], st["p_ns"], st["p_nm"]
+        pf = st["p_fields"]
+        b0 = np.cumsum(nb) - nb
+        s0 = np.cumsum(ns) - ns
+        m0 = np.cumsum(nm) - nm
+        postings: dict[int, TermPostings] = {}
+        for i, t in enumerate(terms):
+            b, s, m = int(b0[i]), int(s0[i]), int(m0[i])
+            be, se, me = b + int(nb[i]), s + int(ns[i]), m + int(nm[i])
+            postings[int(t)] = TermPostings(
+                pf["salts"][b:be], pf["blocks"][b:be], pf["bmax"][b:be],
+                pf["s_terms"][s:se], pf["s_vals"][s:se],
+                pf["s_starts"][b:be], pf["s_lens"][b:be],
+                pf["m_pos"][m:me], pf["m_starts"][b:be], pf["m_lens"][b:be],
+            )
+        self.__init__(
+            st["vocab"], postings, st["doc_ids"], st["fwd_starts"],
+            st["fwd_lens"], st["fwd_terms"], st["fwd_weights"], st["config"],
+        )
+
     # ------------------------------------------------------- hydration ----
 
     @classmethod
@@ -416,6 +483,115 @@ class ServingReplica:
         offsets = np.cumsum(lens) - lens
         return codec.segment_sums(contrib, offsets, lens)
 
+    def _search_resolved(
+        self,
+        qt: np.ndarray,
+        qw: np.ndarray,
+        k: int,
+        query_cut: int,
+        heap_factor: float,
+        two_phase: bool,
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """One resolved query (term ids asc, merged weights) → (top-k
+        forward POSITIONS, scores) or None when nothing matches — the exact
+        per-query body `batch_search` always ran (pure refactor, r6 pass 3,
+        so the executor-side κ-NN map can reuse it on already-resolved
+        rows); `self.doc_ids[pos]` maps positions back to doc ids."""
+        # cut_terms: top-query_cut by (weight desc, term_id asc)
+        cut_order = np.lexsort((qt, -qw))[:query_cut]
+        matched = [
+            (int(qt[i]), float(qw[i]), self.postings[int(qt[i])])
+            for i in cut_order
+            if int(qt[i]) in self.postings
+        ]
+        if not matched:
+            return None
+        if self._qw_lut is not None:
+            # scatter this query's weights (zeroed again at every exit)
+            self._qw_lut[qt] = qw
+
+        # per-block summary UBs + block-max lbs — ONE concatenated
+        # gather + segment-sums call across every matched term (r6,
+        # VERDICT #4: the per-term loop was Python-call-bound at ~10
+        # terms/query).  Per-block segments are unchanged by the
+        # concatenation and segment_sums is a pure function of each
+        # segment, so every ub float is bitwise identical to the
+        # per-term formulation.
+        theta = -np.inf
+        if len(matched) == 1:
+            tp0 = matched[0][2]
+            st_cat, sv_cat = tp0.s_terms, tp0.s_vals
+            starts_cat, lens_cat = tp0.s_starts, tp0.s_lens
+        else:
+            st_cat = np.concatenate([tp.s_terms for _, _, tp in matched])
+            sv_cat = np.concatenate([tp.s_vals for _, _, tp in matched])
+            lens_cat = np.concatenate([tp.s_lens for _, _, tp in matched])
+            starts_cat = np.cumsum(lens_cat) - lens_cat
+        if self._qw_lut is not None:
+            qw_st = self._qw_lut[st_cat]
+        else:
+            qw_st = _gather_qw(qt, qw, st_cat)
+        ub_cat = codec.segment_sums(
+            qw_st * sv_cat, starts_cat, lens_cat
+        )
+        ubs_per_term: list[np.ndarray] = []
+        off = 0
+        for _tid, qw_t, tp in matched:
+            nb = tp.bmax.size
+            ubs_per_term.append(ub_cat[off:off + nb])
+            off += nb
+            lb = qw_t * tp.bmax
+            if lb.size >= k:
+                kth = float(np.partition(lb, lb.size - k)[lb.size - k])
+                if kth > theta:
+                    theta = kth
+
+        if two_phase:
+            # phase 1: best-UB block per matched list (first argmax =
+            # lowest (salt, block), matching the engine's tie order),
+            # exact-score the union, k-th best tightens θ
+            p1_parts = []
+            for (_tid, _qw_t, tp), ub in zip(matched, ubs_per_term):
+                if ub.size == 0:
+                    continue
+                bi = int(np.argmax(ub))
+                s, n = tp.m_starts[bi], tp.m_lens[bi]
+                p1_parts.append(tp.m_pos[s:s + n])
+            if p1_parts:
+                p1_docs = np.unique(np.concatenate(p1_parts))
+                scores = self._score_docs(qt, qw, p1_docs)
+                if scores.size >= k:
+                    kth = float(
+                        np.partition(scores, scores.size - k)[scores.size - k]
+                    )
+                    if kth > theta:
+                        theta = kth
+
+        cand_parts = []
+        for (_tid, _qw_t, tp), ub in zip(matched, ubs_per_term):
+            keep = (
+                ub >= heap_factor * theta
+                if theta != -np.inf
+                else np.ones(ub.size, dtype=bool)
+            )
+            if not keep.any():
+                continue
+            flat = _flat_slices(tp.m_starts[keep], tp.m_lens[keep])
+            cand_parts.append(tp.m_pos[flat])
+        if not cand_parts:
+            if self._qw_lut is not None:
+                self._qw_lut[qt] = 0.0
+            return None
+        # positions are a monotone bijection of the doc ids, so the
+        # unique/dedup set and the (score desc, doc asc) tie order are
+        # exactly the id formulation's; only the k winners map back
+        cands = np.unique(np.concatenate(cand_parts))
+        scores = self._score_docs(qt, qw, cands)
+        top = np.lexsort((cands, -scores))[:k]
+        if self._qw_lut is not None:
+            self._qw_lut[qt] = 0.0
+        return cands[top], scores[top]
+
     def batch_search(
         self,
         queries: list[tuple[str, list[str], list[float]]],
@@ -458,104 +634,15 @@ class ServingReplica:
             if resolved is None:
                 continue
             qt, qw = resolved
-            # cut_terms: top-query_cut by (weight desc, term_id asc)
-            cut_order = np.lexsort((qt, -qw))[:query_cut]
-            matched = [
-                (int(qt[i]), float(qw[i]), self.postings[int(qt[i])])
-                for i in cut_order
-                if int(qt[i]) in self.postings
-            ]
-            if not matched:
+            hit = self._search_resolved(qt, qw, k, query_cut, heap_factor,
+                                        two_phase)
+            if hit is None:
                 continue
-            if self._qw_lut is not None:
-                # scatter this query's weights (zeroed again at the end of
-                # the iteration — `continue`s below reset first)
-                self._qw_lut[qt] = qw
-
-            # per-block summary UBs + block-max lbs — ONE concatenated
-            # gather + segment-sums call across every matched term (r6,
-            # VERDICT #4: the per-term loop was Python-call-bound at ~10
-            # terms/query).  Per-block segments are unchanged by the
-            # concatenation and segment_sums is a pure function of each
-            # segment, so every ub float is bitwise identical to the
-            # per-term formulation.
-            theta = -np.inf
-            if len(matched) == 1:
-                tp0 = matched[0][2]
-                st_cat, sv_cat = tp0.s_terms, tp0.s_vals
-                starts_cat, lens_cat = tp0.s_starts, tp0.s_lens
-            else:
-                st_cat = np.concatenate([tp.s_terms for _, _, tp in matched])
-                sv_cat = np.concatenate([tp.s_vals for _, _, tp in matched])
-                lens_cat = np.concatenate([tp.s_lens for _, _, tp in matched])
-                starts_cat = np.cumsum(lens_cat) - lens_cat
-            if self._qw_lut is not None:
-                qw_st = self._qw_lut[st_cat]
-            else:
-                qw_st = _gather_qw(qt, qw, st_cat)
-            ub_cat = codec.segment_sums(
-                qw_st * sv_cat, starts_cat, lens_cat
-            )
-            ubs_per_term: list[np.ndarray] = []
-            off = 0
-            for _tid, qw_t, tp in matched:
-                nb = tp.bmax.size
-                ubs_per_term.append(ub_cat[off:off + nb])
-                off += nb
-                lb = qw_t * tp.bmax
-                if lb.size >= k:
-                    kth = float(np.partition(lb, lb.size - k)[lb.size - k])
-                    if kth > theta:
-                        theta = kth
-
-            if two_phase:
-                # phase 1: best-UB block per matched list (first argmax =
-                # lowest (salt, block), matching the engine's tie order),
-                # exact-score the union, k-th best tightens θ
-                p1_parts = []
-                for (_tid, _qw_t, tp), ub in zip(matched, ubs_per_term):
-                    if ub.size == 0:
-                        continue
-                    bi = int(np.argmax(ub))
-                    s, n = tp.m_starts[bi], tp.m_lens[bi]
-                    p1_parts.append(tp.m_pos[s:s + n])
-                if p1_parts:
-                    p1_docs = np.unique(np.concatenate(p1_parts))
-                    scores = self._score_docs(qt, qw, p1_docs)
-                    if scores.size >= k:
-                        kth = float(
-                            np.partition(scores, scores.size - k)[scores.size - k]
-                        )
-                        if kth > theta:
-                            theta = kth
-
-            cand_parts = []
-            for (_tid, _qw_t, tp), ub in zip(matched, ubs_per_term):
-                keep = (
-                    ub >= heap_factor * theta
-                    if theta != -np.inf
-                    else np.ones(ub.size, dtype=bool)
-                )
-                if not keep.any():
-                    continue
-                flat = _flat_slices(tp.m_starts[keep], tp.m_lens[keep])
-                cand_parts.append(tp.m_pos[flat])
-            if not cand_parts:
-                if self._qw_lut is not None:
-                    self._qw_lut[qt] = 0.0
-                continue
-            # positions are a monotone bijection of the doc ids, so the
-            # unique/dedup set and the (score desc, doc asc) tie order are
-            # exactly the id formulation's; only the k winners map back
-            cands = np.unique(np.concatenate(cand_parts))
-            scores = self._score_docs(qt, qw, cands)
-            top = np.lexsort((cands, -scores))[:k]
-            out_qid.extend([qid] * top.size)
-            out_rank.append(np.arange(1, top.size + 1, dtype=np.int32))
-            out_doc.append(self.doc_ids[cands[top]])
-            out_score.append(scores[top])
-            if self._qw_lut is not None:
-                self._qw_lut[qt] = 0.0
+            pos_top, score_top = hit
+            out_qid.extend([qid] * pos_top.size)
+            out_rank.append(np.arange(1, pos_top.size + 1, dtype=np.int32))
+            out_doc.append(self.doc_ids[pos_top])
+            out_score.append(score_top)
 
         if not out_qid:
             return pd.DataFrame(

@@ -67,6 +67,13 @@ def get_spark(
     # is the bottleneck otherwise; cluster nodes have local NVMe)
     if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_LOCAL_DIRS"):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    # NOTE (r6 pass 3, measured and rejected): pre-forking the Python worker
+    # pool at session creation (a trivial cores-wide mapInArrow job) was
+    # A/B'd fresh-process ABBA ×8 — the warm job itself cost 6–8 s of
+    # session startup under throttled page supply while the first real UDF
+    # stage got no faster (build-line medians 17.3 s with vs 16.2 s
+    # without): the recurring cost is per-stage page faulting of fresh
+    # Arrow/pandas buffers, not worker forking.  tools/ab_build_leg.py.
     return builder.getOrCreate()
 
 

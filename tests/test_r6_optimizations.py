@@ -249,3 +249,57 @@ def test_score_pairs_csr_lut_matches_searchsorted():
     assert np.array_equal(base, lut1)
     assert np.array_equal(base, lut4)
     assert base.size == qi.size and np.isfinite(base).all()
+
+
+def test_build_knn_replica_matches_join(spark, idx):
+    """The map-only replica self-search path (default under the gate) ==
+    the broadcast-CSR fused path == the ungated join path — identical
+    graphs on real data."""
+    from seismic_spark import knn as knn_mod
+
+    key = lambda df: sorted(
+        (r.doc_id, tuple(r.neighbors)) for r in df.collect()
+    )
+    saved = {
+        k: os.environ.get(k) for k in ("SEISMIC_KNN_REPLICA", "SEISMIC_KNN_BCAST")
+    }
+    try:
+        os.environ["SEISMIC_KNN_REPLICA"] = "1"
+        g_rep = key(knn_mod.build_knn(idx, nknn=4, query_cut=6, heap_factor=0.7))
+        os.environ["SEISMIC_KNN_REPLICA"] = "0"
+        os.environ["SEISMIC_KNN_BCAST"] = "1"
+        g_bc = key(knn_mod.build_knn(idx, nknn=4, query_cut=6, heap_factor=0.7))
+        os.environ["SEISMIC_KNN_BCAST"] = "0"
+        g_join = key(knn_mod.build_knn(idx, nknn=4, query_cut=6, heap_factor=0.7))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert g_rep == g_bc == g_join
+    assert len(g_rep) > 0
+
+
+def test_serving_replica_pickle_roundtrip(spark, idx):
+    """Flat-state pickling of ServingReplica (used for the knn broadcast)
+    preserves every per-term array exactly and the query path bitwise."""
+    import pickle
+
+    rep = idx.serving_replica()
+    rep2 = pickle.loads(pickle.dumps(rep))
+    assert set(rep.postings) == set(rep2.postings)
+    for t, tp in rep.postings.items():
+        tp2 = rep2.postings[t]
+        for f in ("salts", "blocks", "bmax", "s_terms", "s_vals", "s_starts",
+                  "s_lens", "m_pos", "m_starts", "m_lens"):
+            assert np.array_equal(getattr(tp, f), getattr(tp2, f)), (t, f)
+    assert np.array_equal(rep.doc_ids, rep2.doc_ids)
+    assert np.array_equal(rep.fwd_terms, rep2.fwd_terms)
+    assert np.array_equal(rep.fwd_weights, rep2.fwd_weights)
+    qs = [("a", ["w1", "w2"], [1.0, 2.0])]
+    terms = list(rep.vocab)[:4]
+    qs = [("a", terms, [1.0 + i for i in range(len(terms))])]
+    r1 = rep.batch_search(qs, k=5, query_cut=4, heap_factor=0.8)
+    r2 = rep2.batch_search(qs, k=5, query_cut=4, heap_factor=0.8)
+    assert r1.equals(r2)
