@@ -446,7 +446,9 @@ class SeismicSparkIndex:
                 or not self.config.quant_ceil
                 or heap_factor < 1.0
             )
-        qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
+        qvecs = srch.resolve_queries(
+            self.spark, queries, self.vocab, cache=self._csr_cache
+        )
         # driver-CSR scoring gate: interactive batches on a forward table
         # that fits the driver budget run the fully-local fast path
         # (search._driver_theta_local — result-identical, one Spark job);
@@ -579,7 +581,9 @@ class SeismicSparkIndex:
         self, queries: list[tuple[str, list[str], list[float]]], k: int = 10
     ) -> DataFrame:
         """Exact full-scan ground truth (Q10)."""
-        qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
+        qvecs = srch.resolve_queries(
+            self.spark, queries, self.vocab, cache=self._csr_cache
+        )
         est_fwd_bytes = int(self.n_docs * max(float(self.avgdl), 1.0) * 16)
         local_score = (
             os.environ.get("SEISMIC_LOCAL_SCORE", "1") == "1"
@@ -612,7 +616,9 @@ class SeismicSparkIndex:
 
         if getattr(self, "knn", None) is None:
             raise ValueError("call build_knn() first")
-        qvecs = srch.resolve_queries(self.spark, queries, self.vocab)
+        qvecs = srch.resolve_queries(
+            self.spark, queries, self.vocab, cache=self._csr_cache
+        )
         base = srch.batch_search(
             self.spark, self.postings, self.forward, qvecs,
             k=k, query_cut=query_cut, heap_factor=heap_factor,

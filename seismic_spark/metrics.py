@@ -106,7 +106,9 @@ def recall_grid(
     Returns one dict per heap_factor:
       {hf, accuracy, blocks_matched, blocks_scanned, skip_rate, candidates}
     """
-    qvecs = srch.resolve_queries(index.spark, queries, index.vocab)
+    qvecs = srch.resolve_queries(
+        index.spark, queries, index.vocab, cache=index._csr_cache
+    )
     exact = srch.bruteforce_search(index.spark, index.forward, qvecs, k).persist()
     exact.count()
     rows = []

@@ -303,3 +303,39 @@ def test_serving_replica_pickle_roundtrip(spark, idx):
     r1 = rep.batch_search(qs, k=5, query_cut=4, heap_factor=0.8)
     r2 = rep2.batch_search(qs, k=5, query_cut=4, heap_factor=0.8)
     assert r1.equals(r2)
+
+
+def test_resolve_queries_cached_matches_join(spark, idx):
+    """Driver-side vocab-map resolution (per-instance cache) == the join
+    formulation — exact floats, including duplicate tokens, unknown tokens,
+    repeated query ids, and the overflow fallback."""
+    terms = [r["term"] for r in idx.vocab.select("term").limit(6).collect()]
+    qs = [
+        ("q1", [terms[0], terms[1], terms[0]], [1.5, 2.0, 0.25]),  # dup token
+        ("q2", ["zz-not-a-term", terms[2]], [9.9, 1.0]),           # unknown
+        ("q3", ["zz-not-a-term"], [1.0]),                          # all-unknown
+        ("q1", [terms[3]], [0.5]),                                 # repeated qid
+    ]
+    cache: dict = {}
+    with_cache = srch.resolve_queries(spark, qs, idx.vocab, cache=cache)
+    assert "vocab_map" in cache
+    join_path = srch.resolve_queries(spark, qs, idx.vocab)
+    assert set(with_cache) == set(join_path)
+    for q in with_cache:
+        assert np.array_equal(with_cache[q][0], join_path[q][0])
+        assert np.array_equal(with_cache[q][1], join_path[q][1])
+    # overflow gate: cap 0 forces the join path and remembers the overflow
+    old = os.environ.get("SEISMIC_VOCAB_MAP_MAX_TERMS")
+    try:
+        cap0 = {}
+        orig = srch._VOCAB_MAP_MAX_TERMS
+        srch._VOCAB_MAP_MAX_TERMS = 1
+        over = srch.resolve_queries(spark, qs, idx.vocab, cache=cap0)
+        assert cap0.get("vocab_map_overflow") and "vocab_map" not in cap0
+        for q in over:
+            assert np.array_equal(over[q][0], join_path[q][0])
+            assert np.array_equal(over[q][1], join_path[q][1])
+    finally:
+        srch._VOCAB_MAP_MAX_TERMS = orig
+        if old is not None:
+            os.environ["SEISMIC_VOCAB_MAP_MAX_TERMS"] = old
