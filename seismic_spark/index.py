@@ -253,6 +253,14 @@ class SeismicSparkIndex:
             # consult the value (int terms / no supplied vocab)
             raise ValueError(f"unknown missing_tokens {missing_tokens!r}")
         cfg = config or IndexConfig()
+        # under-split inputs (e.g. one JSONL-derived file) would run the
+        # whole resolve/weight map chain in a single task (guide §2.5/§6);
+        # same result-neutrality argument as build() — aggregates and
+        # per-row transforms are partitioning-independent, pinned window
+        # orders cover the rest
+        from seismic_spark.session import ensure_min_parallelism
+
+        vectors = ensure_min_parallelism(vectors, "doc_id")
         docmap = None
         if isinstance(vectors.schema["doc_id"].dataType, StringType):
             if id_scheme == "dense":
